@@ -1,0 +1,81 @@
+"""Native occupied-k-list construction (no external SCF required).
+
+The network's Bloch phases need one k-vector per occupied orbital per spin
+channel (reference obtains these from PySCF k-point HF occupations,
+hf.py:84-104). Natively we support:
+
+  * 'uniform' — every supercell k-point hosts the same number of bands
+    (exact for band insulators, where HF occupations are k-uniform).
+  * 'fermi'   — fill candidate plane-wave states (k + G) in order of
+    kinetic energy |k+G|^2/2 (free-electron Fermi sea; right default for
+    simple metals).
+  * 'auto'    — 'uniform' when the electron count divides evenly over
+    k-points, else 'fermi'.
+
+Users may also pass an explicit klist (e.g. from an external HF run)
+straight to the network.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Sequence, Tuple
+
+import numpy as np
+
+from deepsolid_tpu.system.cell import Supercell, reciprocal_vectors
+
+
+def twisted_kpts(sc: Supercell, twist=(0.0, 0.0, 0.0)) -> np.ndarray:
+    """Supercell k-points shifted by a twist (fractions of the supercell
+    reciprocal vectors). Reference semantics: hf.py:61-62."""
+    shift = np.mod(np.asarray(twist, np.float64), 1.0) @ reciprocal_vectors(sc.lattice)
+    return sc.kpts + shift
+
+
+def _fill_fermi(kpts: np.ndarray, prim_recip: np.ndarray, n: int) -> np.ndarray:
+    """Indices (into kpts, with multiplicity) of the n lowest |k+G|^2 states."""
+    nk = kpts.shape[0]
+    m = max(2, int(np.ceil((4.0 * n / nk) ** (1.0 / 3.0))))
+    gs = np.array(
+        list(itertools.product(range(-m, m + 1), repeat=3)), np.float64
+    ) @ prim_recip
+    # candidates: (nk * ng) states
+    cand_k = np.repeat(np.arange(nk), gs.shape[0])
+    cand_vec = (kpts[:, None, :] + gs[None, :, :]).reshape(-1, 3)
+    energy = 0.5 * np.sum(cand_vec**2, axis=-1)
+    # deterministic: sort by (energy, k index, g index)
+    order = np.lexsort((np.arange(len(energy)), cand_k, np.round(energy, 10)))
+    return cand_k[order[:n]]
+
+
+def fill_klist(
+    kpts: np.ndarray, prim_recip: np.ndarray, n: int, policy: str = "auto"
+) -> np.ndarray:
+    """Occupied k-vector per orbital, shape (n, 3)."""
+    nk = kpts.shape[0]
+    if policy == "auto":
+        policy = "uniform" if n % nk == 0 else "fermi"
+    if policy == "uniform":
+        if n % nk != 0:
+            raise ValueError(
+                f"uniform filling needs nk={nk} to divide n={n}"
+            )
+        idx = np.repeat(np.arange(nk), n // nk)
+    elif policy == "fermi":
+        idx = np.sort(_fill_fermi(kpts, prim_recip, n))
+    else:
+        raise ValueError(f"Unknown filling policy: {policy}")
+    return kpts[idx]
+
+
+def free_electron_klist(
+    sc: Supercell, twist=(0.0, 0.0, 0.0), policy: str = "auto"
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(k_up, k_down) occupied k-lists for a supercell."""
+    kpts = twisted_kpts(sc, twist)
+    prim_recip = reciprocal_vectors(sc.prim.lattice)
+    return tuple(
+        fill_klist(kpts, prim_recip, n, policy) if n > 0 else np.zeros((0, 3))
+        for n in sc.nelec
+    )
