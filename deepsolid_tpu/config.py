@@ -1,0 +1,111 @@
+"""Default configuration (ml_collections) for deepsolid_tpu runs.
+
+Key layout mirrors the reference (DeepSolid/base_config.py:22-157) so users
+can carry over overrides, with these deliberate changes:
+  * `system.cell` holds a serializable `Supercell` (or its dict form), not
+    a live PySCF object — configs and checkpoints are picklable/jsonable.
+  * `system.klist_policy` selects the native occupied-k-list source
+    ('auto'/'uniform'/'fermi') or 'explicit' with `system.klist`.
+  * `precision` replaces use_x64 ('float32' default on TPU; tests use
+    float64 on CPU).
+  * `optim.laplacian_mode` gains the TPU-preferred 'forward' engine.
+"""
+
+from __future__ import annotations
+
+import ml_collections
+
+
+def default() -> ml_collections.ConfigDict:
+    cfg = ml_collections.ConfigDict(
+        {
+            "batch_size": 4096,
+            "precision": "float32",  # 'float32' | 'float64'
+            "optim": {
+                "iterations": 1000000,
+                "optimizer": "kfac",  # 'kfac' | 'adam' | 'none'
+                "local_energy_outlier_width": 5.0,
+                "lr": {
+                    "rate": 5.0e-2,
+                    "decay": 1.0,
+                    "delay": 10000.0,
+                },
+                "clip_el": 5.0,
+                "clip_type": "real",  # 'real' | 'complex'
+                "gradient_clip": 5.0,
+                "adam": {
+                    "b1": 0.9,
+                    "b2": 0.999,
+                    "eps": 1.0e-8,
+                    "eps_root": 0.0,
+                },
+                "kfac": {
+                    "invert_every": 1,
+                    "cov_update_every": 1,
+                    "damping": 0.001,
+                    "cov_ema_decay": 0.95,
+                    "momentum": 0.0,
+                    "min_damping": 1.0e-4,
+                    "norm_constraint": 0.001,
+                    "mean_center": True,
+                    "l2_reg": 0.0,
+                },
+                "ministeps": 1,
+                "laplacian_mode": "partition",  # 'forward'|'partition'|'vmap'|'for'|'hessian'
+                "partition_number": 3,
+            },
+            "log": {
+                "stats_frequency": 1,
+                "save_frequency": 10.0,  # minutes
+                "save_frequency_in_step": -1,
+                "save_path": "",
+                "restore_path": "",
+                "local_energies": False,
+                "complex_polarization": False,
+                "structure_factor": False,
+                "stats_file_name": "train_stats",
+            },
+            "system": {
+                "cell": None,  # deepsolid_tpu.system.Supercell (or dict)
+                "ndim": 3,
+                "klist_policy": "auto",  # 'auto'|'uniform'|'fermi'|'explicit'
+                "klist": None,  # used when klist_policy == 'explicit'
+            },
+            "mcmc": {
+                "burn_in": 100,
+                "steps": 20,
+                "init_width": 0.8,
+                "move_width": 0.02,
+                "adapt_frequency": 100,
+                "importance_sampling": False,
+                "one_electron": False,
+            },
+            "network": {
+                "detnet": {
+                    "envelope_type": "isotropic",
+                    "bias_orbitals": False,
+                    "use_last_layer": False,
+                    "full_det": False,
+                    "hidden_dims": ((256, 32), (256, 32), (256, 32)),
+                    "determinants": 8,
+                    "distance_type": "nu",
+                },
+                "twist": (0.0, 0.0, 0.0),
+            },
+            "debug": {
+                "check_nan": False,
+                "deterministic": False,
+            },
+            "pretrain": {
+                "method": "net",  # 'net' | 'hf' | 'none'
+                "iterations": 1000,
+                "lr": 3e-4,
+                "steps": 1,
+            },
+        }
+    )
+    return cfg
+
+
+def resolve(cfg):
+    return cfg.copy_and_resolve_references()

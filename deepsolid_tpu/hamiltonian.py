@@ -1,0 +1,35 @@
+"""Local energy: kinetic (Laplacian of log psi) + Ewald Coulomb.
+
+Reference semantics: DeepSolid/hamiltonian.py:163-228.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax.numpy as jnp
+
+from deepsolid_tpu.ops.ewald import EwaldSum
+from deepsolid_tpu.ops.laplacian import make_kinetic
+
+
+def make_local_energy(
+    f: Callable,
+    supercell,
+    mode: str = "partition",
+    partition_number: int = 3,
+) -> Callable:
+    """Builds E_L(params, x) -> (kinetic complex, ewald real) for one walker.
+
+    f(params, x) must return complex log psi.
+    """
+    kinetic = make_kinetic(f, mode=mode, partition_number=partition_number)
+    ewald = EwaldSum.build(supercell)
+
+    def local_energy(params, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        ke = kinetic(params, x)
+        ee, ei, ii = ewald.energy(x)
+        return ke, ee + ei + ii
+
+    local_energy.ewald = ewald  # expose precomputed state (Madelung checks)
+    return local_energy

@@ -1,0 +1,113 @@
+"""VMC energy loss with the custom-JVP gradient estimator.
+
+E[psi] = <Re E_L>; the gradient is the covariance estimator
+  dE = 2 Re < (E_L - E)* d log psi >
+implemented as a custom JVP with complex local-energy clipping
+(reference semantics: DeepSolid/train.py:28-144). Statistics are pmean'd
+over the data mesh axis so the same code runs single-chip or sharded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Tuple
+
+import chex
+import jax
+import jax.numpy as jnp
+
+from deepsolid_tpu.hamiltonian import make_local_energy
+from deepsolid_tpu.parallel import DATA_AXIS, pmean_if_axis
+
+
+@chex.dataclass
+class AuxiliaryLossData:
+    variance: Any
+    local_energy: Any
+    imaginary: Any
+    kinetic: Any
+    ewald: Any
+
+
+def clip_local_energy_diff(diff, clip_width: float, clip_type: str):
+    """Clip (E_L - E) either in Cartesian re/im or polar style
+    (train.py:102-127 semantics)."""
+    if clip_width <= 0.0:
+        return diff
+    if clip_type == "real":
+        tv_re = pmean_if_axis(jnp.mean(jnp.abs(diff.real)), DATA_AXIS)
+        tv_im = pmean_if_axis(jnp.mean(jnp.abs(diff.imag)), DATA_AXIS)
+        re = jnp.clip(diff.real, -clip_width * tv_re, clip_width * tv_re)
+        im = jnp.clip(diff.imag, -clip_width * tv_im, clip_width * tv_im)
+        return re + 1j * im
+    if clip_type == "complex":
+        radius, phase = jnp.abs(diff), jnp.angle(diff)
+        radius_tv = pmean_if_axis(radius.std(), DATA_AXIS)
+        radius_mean = pmean_if_axis(jnp.median(radius), DATA_AXIS)
+        clip_radius = jnp.clip(
+            radius,
+            radius_mean - radius_tv * clip_width,
+            radius_mean + radius_tv * clip_width,
+        )
+        return clip_radius * jnp.exp(1j * phase)
+    raise ValueError(f"Unknown clip type: {clip_type}")
+
+
+def make_loss(
+    network: Callable,
+    batch_network: Callable,
+    supercell,
+    clip_local_energy: float = 5.0,
+    clip_type: str = "real",
+    mode: str = "partition",
+    partition_number: int = 3,
+    register_loss_callback: Callable = None,
+) -> Callable:
+    """total_energy(params, data) -> (loss, AuxiliaryLossData), custom JVP.
+
+    `network(params, x)` returns complex log psi for a single walker;
+    `batch_network` its batched version. `register_loss_callback` lets the
+    KFAC optimizer register psi as a normal predictive distribution
+    (reference: train.py:133).
+    """
+    el_fun = make_local_energy(
+        network, supercell, mode=mode, partition_number=partition_number
+    )
+    batch_local_energy = jax.vmap(el_fun, in_axes=(None, 0), out_axes=0)
+
+    @jax.custom_jvp
+    def total_energy(params, data):
+        ke, ew = batch_local_energy(params, data)
+        e_l = ke + ew
+        mean_e_l = jnp.mean(e_l)
+        pmean_loss = pmean_if_axis(mean_e_l, DATA_AXIS)
+        variance = pmean_if_axis(
+            jnp.mean(jnp.abs(e_l) ** 2) - jnp.abs(mean_e_l.real) ** 2, DATA_AXIS
+        )
+        return pmean_loss.real, AuxiliaryLossData(
+            variance=variance,
+            local_energy=e_l,
+            imaginary=pmean_loss.imag,
+            kinetic=ke,
+            ewald=ew,
+        )
+
+    @total_energy.defjvp
+    def total_energy_jvp(primals, tangents):
+        params, data = primals
+        loss, aux = total_energy(params, data)
+        diff = aux.local_energy - loss
+        clip_diff = clip_local_energy_diff(diff, clip_local_energy, clip_type)
+
+        psi_primal, psi_tangent = jax.jvp(batch_network, primals, tangents)
+        if register_loss_callback is not None:
+            register_loss_callback(jnp.conjugate(psi_primal)[:, None])
+        # mean (not dot): keeps the gradient batch-size independent, which
+        # the KFAC norm constraint relies on (train.py:136-138). The cross-
+        # device pmean of the resulting gradient happens in the training
+        # step, not here, so the tangent map stays transpose-clean.
+        tangents_dot = jnp.mean((clip_diff * jnp.conjugate(psi_tangent)).real)
+        return (loss, aux), (tangents_dot, aux)
+
+    total_energy.local_energy_fn = el_fun
+    return total_energy
