@@ -1,0 +1,83 @@
+"""Benchmark: local-energy evaluations per second per chip.
+
+Runs the hot path of VMC training — batched local energy (kinetic Laplacian
++ Ewald) of the full-size periodic FermiNet — on C-diamond 2x2x2
+(96 electrons), the north-star throughput config from BASELINE.md.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+vs_baseline is measured against ROUND1_BASELINE below (the first recorded
+round-1 number on a TPU v5 lite chip); >1.0 means faster than round 1.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# local-energy evals/sec/chip recorded in round 1 on TPU v5e (this repo's
+# own first measurement; the upstream repo publishes no numbers).
+ROUND1_BASELINE = None  # set after first real-TPU measurement
+
+
+def build(S=2, batch=64, mode="partition", partition_number=None):
+    import jax
+
+    from deepsolid_tpu.hamiltonian import make_local_energy
+    from deepsolid_tpu.sampling.init import init_electrons
+
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _diamond_network
+
+    sc, net = _diamond_network(S=S)
+    n3 = sc.nelectron * 3
+    if partition_number is None:
+        partition_number = max(1, n3 // 16)  # 16-wide tangent chunks
+    while n3 % partition_number:
+        partition_number += 1
+
+    key = jax.random.PRNGKey(0)
+    params = net.init(key)
+    data = init_electrons(key, sc, sc.nelec, batch_size=batch)
+
+    el = make_local_energy(
+        net.logdet, sc, mode=mode, partition_number=partition_number
+    )
+    batch_el = jax.jit(jax.vmap(el, in_axes=(None, 0)))
+    return params, data, batch_el, sc
+
+
+def main():
+    batch = 64
+    iters = 8
+    params, data, batch_el, sc = build(S=2, batch=batch)
+
+    # compile + warmup
+    ke, ew = batch_el(params, data)
+    ke.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ke, ew = batch_el(params, data)
+    ke.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    evals_per_sec = batch * iters / dt
+    vs = evals_per_sec / ROUND1_BASELINE if ROUND1_BASELINE else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "local_energy_evals_per_sec_per_chip "
+                          "(C-diamond 2x2x2, 96e, full-size net)",
+                "value": round(evals_per_sec, 3),
+                "unit": "walkers/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -70,6 +70,7 @@ def default() -> ml_collections.ConfigDict:
                 "ndim": 3,
                 "klist_policy": "auto",  # 'auto'|'uniform'|'fermi'|'explicit'
                 "klist": None,  # used when klist_policy == 'explicit'
+                "basis": "",  # GTO basis name for native-SCF pretraining
             },
             "mcmc": {
                 "burn_in": 100,

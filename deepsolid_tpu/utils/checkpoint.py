@@ -45,17 +45,25 @@ def get_restore_path(restore_path: Optional[str] = None) -> Optional[str]:
     return restore_path or None
 
 
+def _as_object_scalar(tree):
+    """Wrap an arbitrary pytree in a 0-d object array so np.savez can store
+    it (tuples of namedtuples are not array-coercible directly)."""
+    host = jax.tree_util.tree_map(np.asarray, tree) if tree is not None else None
+    out = np.empty((), dtype=object)
+    out[()] = host
+    return out
+
+
 def save(save_path: str, t: int, data, params, opt_state, mcmc_width) -> str:
     """Write qmcjax_ckpt_{t}.npz. `data` is the global walker batch."""
     ckpt = os.path.join(save_path, f"qmcjax_ckpt_{t:06d}.npz")
-    host = lambda tree: jax.tree_util.tree_map(np.asarray, tree)
     with open(ckpt, "wb") as f:
         np.savez(
             f,
             t=t,
             data=np.asarray(data),
-            params=host(params),
-            opt_state=host(opt_state) if opt_state is not None else None,
+            params=_as_object_scalar(params),
+            opt_state=_as_object_scalar(opt_state),
             mcmc_width=np.asarray(mcmc_width) if mcmc_width is not None else None,
         )
     return ckpt

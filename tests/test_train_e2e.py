@@ -1,0 +1,66 @@
+"""End-to-end training smoke tests on the 8-virtual-device CPU mesh."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from deepsolid_tpu.configs import two_hydrogen_cell
+
+
+def small_cfg(tmpdir, optimizer="adam", iterations=3):
+    cfg = two_hydrogen_cell.get_config("H,1,1,1,2.0,0,sto-3g")
+    cfg.batch_size = 64
+    cfg.precision = "float64"
+    cfg.optim.optimizer = optimizer
+    cfg.optim.iterations = iterations
+    cfg.optim.laplacian_mode = "partition"
+    cfg.optim.partition_number = 2
+    cfg.mcmc.burn_in = 2
+    cfg.mcmc.steps = 3
+    cfg.pretrain.iterations = 0
+    cfg.pretrain.method = "none"
+    cfg.network.detnet.hidden_dims = ((16, 4), (16, 4))
+    cfg.network.detnet.determinants = 2
+    cfg.log.save_path = tmpdir
+    cfg.log.save_frequency = 1e9  # only the end-of-run checkpoint
+    return cfg
+
+
+def test_train_adam_e2e():
+    from deepsolid_tpu.train import process
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        cfg = small_cfg(tmpdir, "adam", iterations=3)
+        params, data, energy = process.process(cfg)
+        assert np.isfinite(energy)
+        # stats CSV exists with rows
+        csv = os.path.join(tmpdir, "train_stats.csv")
+        lines = open(csv).read().strip().split("\n")
+        assert lines[0].startswith("step,energy")
+        assert len(lines) >= 4
+        # checkpoint written
+        assert any("qmcjax_ckpt_" in f for f in os.listdir(tmpdir))
+
+
+def test_train_inference_and_restore():
+    from deepsolid_tpu.train import process
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        cfg = small_cfg(tmpdir, "adam", iterations=2)
+        process.process(cfg)
+        # restart from checkpoint: picks up where it left off and finishes
+        cfg2 = small_cfg(tmpdir, "adam", iterations=4)
+        params, data, energy = process.process(cfg2)
+        assert np.isfinite(energy)
+
+
+def test_train_none_optimizer():
+    from deepsolid_tpu.train import process
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        cfg = small_cfg(tmpdir, "none", iterations=2)
+        cfg.mcmc.burn_in = 1
+        params, data, energy = process.process(cfg)
+        assert np.isfinite(energy)
