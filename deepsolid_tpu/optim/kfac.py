@@ -1,0 +1,391 @@
+"""Complex-aware KFAC natural-gradient optimizer (native implementation).
+
+Approximates the VMC Fisher F = E[ (d log psi*)(d log psi*)^T ] per dense
+layer as extra_scale * (A kron G) with
+  A = E[x^T x] over (batch x repeats)         (layer inputs, bias-augmented)
+  G = Re E[dy^H dy]                           (complex loss tangents)
+where dy is the per-sample tangent of the layer output under the
+fisher_exact rule for a 1-D normal predictive distribution with variance
+0.5: cotangent sqrt(2) per sample, R->C vjp split into real/imag parts.
+
+Reference semantics reproduced from DeepSolid's vendored
+kfac_ferminet_alpha (file:line cites per method below) — but instead of the
+755-line jaxpr graph matcher + custom layer-tag primitives, layers are
+explicitly *tapped* by the network (models/network.py dense()): one forward
+records layer inputs, two vjp calls produce the complex tangents and the
+per-parameter gradients for diagonal (non-dense) blocks. Everything runs
+inside the caller's shard_map region; cross-device syncs are pmean_if_axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepsolid_tpu.parallel import DATA_AXIS, all_mean, pmean_if_axis
+
+
+def _tree_get(params, path):
+    node = params
+    for p in path:
+        node = node[p]
+    return node
+
+
+def _inner_product(a, b):
+    leaves_a = jax.tree_util.tree_leaves(a)
+    leaves_b = jax.tree_util.tree_leaves(b)
+    return sum(jnp.sum(x * y) for x, y in zip(leaves_a, leaves_b))
+
+
+def psd_inv_cholesky(factor: jnp.ndarray, damping) -> jnp.ndarray:
+    """inv(factor + damping * I) via Cholesky solve (utils.py:125-135)."""
+    c = factor + damping * jnp.eye(factor.shape[0], dtype=factor.dtype)
+    identity = jnp.eye(factor.shape[0], dtype=factor.dtype)
+    return jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(c), identity)
+
+
+def pi_adjusted_inverse(factor_0, factor_1, damping):
+    """Pi-adjusted damped Kronecker inverse (utils.py:155-218 semantics),
+    including the zero-factor guard."""
+    norm_0 = pmean_if_axis(jnp.trace(factor_0), DATA_AXIS)
+    norm_1 = pmean_if_axis(jnp.trace(factor_1), DATA_AXIS)
+    scale = norm_0 * norm_1
+
+    def regular(operand):
+        f0, f1, n0, n1, s, d = operand
+        d0 = jnp.sqrt(d * f1.shape[0] / (s * f0.shape[0]))
+        inv0 = psd_inv_cholesky(f0 / n0, d0) / jnp.sqrt(s)
+        d1 = jnp.sqrt(d * f0.shape[0] / (s * f1.shape[0]))
+        inv1 = psd_inv_cholesky(f1 / n1, d1) / jnp.sqrt(s)
+        return inv0, inv1
+
+    def zero(operand):
+        d = operand[-1]
+        return (
+            jnp.eye(factor_0.shape[0], dtype=factor_0.dtype) / jnp.sqrt(d),
+            jnp.eye(factor_1.shape[0], dtype=factor_1.dtype) / jnp.sqrt(d),
+        )
+
+    return jax.lax.cond(
+        scale > 0.0, regular, zero,
+        operand=(factor_0, factor_1, norm_0, norm_1, scale, damping),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class KfacOptimizer:
+    """KFAC with Kronecker dense blocks + diagonal blocks for the rest.
+
+    Hyperparameters mirror cfg.optim.kfac (base_config.py:62-75).
+    """
+
+    network: Any
+    learning_rate_schedule: Callable
+    damping: float = 1e-3
+    norm_constraint: float = 1e-3
+    cov_ema_decay: float = 0.95
+    invert_every: int = 1
+    min_damping: float = 1e-4
+    momentum: float = 0.0
+    l2_reg: float = 0.0
+
+    # ---------------- layout helpers -----------------------------------------
+    def _registry(self, params):
+        return self.network.layer_registry(params)
+
+    def _dense_paths(self, params):
+        reg = self._registry(params)
+        paths = set()
+        for name, info in reg.items():
+            paths.add(info["path"] + ("w",))
+            if info["has_bias"]:
+                paths.add(info["path"] + ("b",))
+        return reg, paths
+
+    def _diag_paths(self, params, dense_paths):
+        """All leaf paths not covered by dense blocks (envelope pi/sigma)."""
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        out = []
+        for keypath, leaf in flat:
+            path = tuple(
+                k.key if hasattr(k, "key") else k.idx for k in keypath
+            )
+            if path not in dense_paths:
+                out.append(path)
+        return out
+
+    def _tap_shapes(self, params, single_x_shape, dtype):
+        """Static (input, output) shapes per tapped layer for one walker."""
+        x_spec = jax.ShapeDtypeStruct(single_x_shape, dtype)
+
+        def f(p, x):
+            out, taps = self.network.logdet_with_taps(p, x)
+            return taps
+
+        taps = jax.eval_shape(f, params, x_spec)
+        reg = self._registry(params)
+        shapes = {}
+        for name, tap in taps.items():
+            w = _tree_get(params, reg[name]["path"])["w"]
+            shapes[name] = (tuple(tap.shape), tuple(tap.shape[:-1]) + (w.shape[-1],))
+        return shapes
+
+    # ---------------- state ---------------------------------------------------
+    def init(self, params, data, mesh=None):
+        params = jax.device_get(params)
+        dtype = jax.tree_util.tree_leaves(params)[0].dtype
+        reg, dense_paths = self._dense_paths(params)
+        shapes = self._tap_shapes(params, data.shape[-1:], dtype)
+
+        blocks = {}
+        for name, info in reg.items():
+            w = _tree_get(params, info["path"])["w"]
+            d_in = w.shape[0] + (1 if info["has_bias"] else 0)
+            d_out = w.shape[1]
+            in_shape, _ = shapes[name]
+            # repeats = elements the layer is applied to per walker
+            extra_scale = float(np.prod(in_shape[:-1], dtype=np.float64)) or 1.0
+            blocks[name] = {
+                "a_raw": jnp.zeros((d_in, d_in), dtype),
+                "g_raw": jnp.zeros((d_out, d_out), dtype),
+                "weight": jnp.zeros((), dtype),
+                "a_inv": jnp.zeros((d_in, d_in), dtype),
+                "g_inv": jnp.zeros((d_out, d_out), dtype),
+                "extra_scale": jnp.asarray(extra_scale, dtype),
+            }
+        diag = {}
+        for path in self._diag_paths(params, dense_paths):
+            leaf = _tree_get(params, path)
+            diag["/".join(map(str, path))] = {
+                "raw": jnp.zeros_like(leaf),
+                "weight": jnp.zeros((), dtype),
+            }
+        state = {
+            "step": jnp.zeros((), jnp.int32),
+            "velocities": jax.tree_util.tree_map(jnp.zeros_like, params),
+            "blocks": blocks,
+            "diag": diag,
+        }
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+        return state
+
+    # ---------------- curvature capture ---------------------------------------
+    def _capture(self, params, data):
+        """(taps, dy, diag_grads): layer inputs, complex output tangents, and
+        per-parameter gradients for the diagonal blocks.
+
+        Equivalent to tracer.trace_estimator_vjp + vjp_rc (tracer.py:196-332,
+        vjp_rc.py:28-93) using the explicit eps-injection hooks.
+        """
+        dtype = data.dtype
+        reg, dense_paths = self._dense_paths(params)
+        shapes = self._tap_shapes(params, data.shape[-1:], dtype)
+        batch = data.shape[0]
+        eps0 = {
+            name: jnp.zeros((batch,) + out_shape, dtype)
+            for name, (_, out_shape) in shapes.items()
+        }
+        diag_paths = self._diag_paths(params, dense_paths)
+        diag_params = {"/".join(map(str, p)): _tree_get(params, p)
+                       for p in diag_paths}
+
+        def merge(diag_p):
+            out = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+            for key, leaf in diag_p.items():
+                path = key.split("/")
+                node = out
+                for p in path[:-1]:
+                    node = node[int(p) if p.isdigit() else p]
+                node[path[-1]] = leaf
+            return out
+
+        def forward(eps, diag_p):
+            p = merge(diag_p)
+
+            def one(x, e):
+                out, taps = self.network.logdet_with_taps(p, x, eps=e)
+                return out, taps
+
+            outs, taps = jax.vmap(one, in_axes=(0, 0))(data, eps)
+            return outs, taps
+
+        def f_re(e, d):
+            outs, taps = forward(e, d)
+            return outs.real, taps
+
+        def f_im(e, d):
+            outs, taps = forward(e, d)
+            return outs.imag, taps
+
+        (out_re, vjp_re, taps) = jax.vjp(f_re, eps0, diag_params, has_aux=True)
+        (out_im, vjp_im, _) = jax.vjp(f_im, eps0, diag_params, has_aux=True)
+        # fisher_exact, 1-D loss, variance=0.5 -> cotangent sqrt(2) per sample
+        # (loss_functions.py:529-537, estimator.py:284-320)
+        cot = jnp.full((batch,), jnp.sqrt(2.0), dtype)
+        dy_re, dg_re = vjp_re(cot)
+        dy_im, dg_im = vjp_im(cot)
+        dy = {n: (dy_re[n], dy_im[n]) for n in dy_re}
+        diag_grads = {k: (dg_re[k], dg_im[k]) for k in dg_re}
+        return taps, dy, diag_grads
+
+    def update_curvature(self, state, params, data):
+        """EMA update of all curvature factors (curvature_blocks.py:262-281,
+        curvature_tags_and_blocks.py:135-156 semantics)."""
+        taps, dy, diag_grads = self._capture(params, data)
+        ema_old = jnp.asarray(self.cov_ema_decay, data.dtype)
+        batch = data.shape[0]
+        reg = self._registry(params)
+
+        blocks = dict(state["blocks"])
+        for name, block in blocks.items():
+            x = taps[name]
+            x2 = x.reshape(-1, x.shape[-1])
+            if reg[name]["has_bias"]:
+                x2 = jnp.concatenate(
+                    [x2, jnp.ones_like(x2[:, :1])], axis=1
+                )
+            n_rep = x2.shape[0]
+            a_upd = pmean_if_axis((x2.T @ x2) / n_rep, DATA_AXIS)
+            d_re, d_im = dy[name]
+            d_re = d_re.reshape(-1, d_re.shape[-1])
+            d_im = d_im.reshape(-1, d_im.shape[-1])
+            g_upd = pmean_if_axis(
+                (d_re.T @ d_re + d_im.T @ d_im) / n_rep, DATA_AXIS
+            )
+            blocks[name] = {
+                **block,
+                "a_raw": block["a_raw"] * ema_old + a_upd,
+                "g_raw": block["g_raw"] * ema_old + g_upd,
+                "weight": block["weight"] * ema_old + 1.0,
+            }
+
+        diag = dict(state["diag"])
+        for key, entry in diag.items():
+            g_re, g_im = diag_grads[key]
+            upd = pmean_if_axis((g_re**2 + g_im**2) / batch, DATA_AXIS)
+            diag[key] = {
+                "raw": entry["raw"] * ema_old + upd,
+                "weight": entry["weight"] * ema_old + 1.0,
+            }
+
+        return {**state, "blocks": blocks, "diag": diag}
+
+    def refresh_inverses(self, state, damping):
+        blocks = dict(state["blocks"])
+        for name, block in blocks.items():
+            w = jnp.maximum(block["weight"], 1e-30)
+            a = block["a_raw"] / w
+            g = block["g_raw"] / w
+            a_inv, g_inv = pi_adjusted_inverse(
+                a, g, damping / block["extra_scale"]
+            )
+            blocks[name] = {**block, "a_inv": a_inv, "g_inv": g_inv}
+        return {**state, "blocks": blocks}
+
+    def precondition(self, state, params, grads, damping):
+        """F^-1 g using the cached inverses (curvature_blocks TwoKronecker
+        multiply_matpower exp=-1 + NaiveDiagonal exp=-1 semantics)."""
+        reg = self._registry(params)
+        out = jax.tree_util.tree_map(lambda x: x, grads)  # structure copy
+        for name, info in reg.items():
+            block = state["blocks"][name]
+            layer_grad = _tree_get(grads, info["path"])
+            w_g = layer_grad["w"]
+            vec = w_g.reshape(-1, w_g.shape[-1])
+            if info["has_bias"]:
+                vec = jnp.concatenate([vec, layer_grad["b"][None]], axis=0)
+            result = block["a_inv"] @ vec @ block["g_inv"]
+            result = result / block["extra_scale"]
+            node = _tree_get(out, info["path"])
+            if info["has_bias"]:
+                node["w"] = result[:-1].reshape(w_g.shape)
+                node["b"] = result[-1]
+            else:
+                node["w"] = result.reshape(w_g.shape)
+        for key in state["diag"]:
+            path = tuple(int(p) if p.isdigit() else p for p in key.split("/"))
+            entry = state["diag"][key]
+            w = jnp.maximum(entry["weight"], 1e-30)
+            factor = entry["raw"] / w
+            g = _tree_get(grads, path)
+            node = _tree_get(out, path[:-1])
+            node[path[-1]] = g / (factor + damping)
+        return out
+
+    # ---------------- the step -------------------------------------------------
+    def step_fn(self, params, state, grads, damping):
+        """One optimizer update given pmean'd grads (optimizer.py:368-470)."""
+        damping = jnp.maximum(jnp.asarray(damping), self.min_damping)
+        lr = self.learning_rate_schedule(state["step"])
+
+        state = jax.lax.cond(
+            state["step"] % self.invert_every == 0,
+            lambda s: self.refresh_inverses(s, damping),
+            lambda s: s,
+            state,
+        )
+        if self.l2_reg > 0.0:
+            grads = jax.tree_util.tree_map(
+                lambda g, p: g + self.l2_reg * p, grads, params
+            )
+        precond = self.precondition(state, params, grads, damping)
+
+        if self.norm_constraint is not None:
+            sq_norm = _inner_product(precond, grads) * lr**2
+            sq_norm = pmean_if_axis(sq_norm, DATA_AXIS)
+            coeff = jnp.minimum(
+                jnp.sqrt(self.norm_constraint / sq_norm), 1.0
+            )
+            precond = jax.tree_util.tree_map(lambda v: v * coeff, precond)
+
+        delta = jax.tree_util.tree_map(
+            lambda v, vel: -lr * v + self.momentum * vel,
+            precond,
+            state["velocities"],
+        )
+        params = jax.tree_util.tree_map(jnp.add, params, delta)
+        state = {**state, "velocities": delta, "step": state["step"] + 1}
+        return params, state
+
+    def make_train_step(self, mesh, mcmc_step, val_and_grad):
+        """Full jitted shard_map training step for the driver."""
+        from jax.sharding import PartitionSpec as P
+
+        damping = self.damping
+
+        @functools.partial(jax.jit, donate_argnums=(1, 2))
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(), P(), P()),
+            out_specs=(P(), P(DATA_AXIS), P(), P(),
+                       (P(), P(DATA_AXIS), P(), P(), P())),
+            check_vma=False,
+        )
+        def train_step(params, data, state, key, width):
+            key = jax.random.fold_in(key, jax.lax.axis_index(DATA_AXIS))
+            k1, _ = jax.random.split(key)
+            data, pmove = mcmc_step(params, data, k1, width)
+            (loss, aux), grads = val_and_grad(params, data)
+            grads = all_mean(grads)
+            state = self.update_curvature(state, params, data)
+            params, state = self.step_fn(params, state, grads, damping)
+            stats = (
+                loss,
+                aux.local_energy,
+                aux.variance,
+                aux.imaginary,
+                pmean_if_axis(jnp.mean(aux.kinetic)),
+            )
+            return params, data, state, pmove, stats
+
+        return train_step

@@ -33,40 +33,56 @@ def twisted_kpts(sc: Supercell, twist=(0.0, 0.0, 0.0)) -> np.ndarray:
     return sc.kpts + shift
 
 
-def _fill_fermi(kpts: np.ndarray, prim_recip: np.ndarray, n: int) -> np.ndarray:
-    """Indices (into kpts, with multiplicity) of the n lowest |k+G|^2 states."""
+def _candidates(kpts: np.ndarray, prim_recip: np.ndarray, n: int):
+    """All (k index, G) plane-wave states within a shell big enough for n."""
     nk = kpts.shape[0]
     m = max(2, int(np.ceil((4.0 * n / nk) ** (1.0 / 3.0))))
     gs = np.array(
         list(itertools.product(range(-m, m + 1), repeat=3)), np.float64
     ) @ prim_recip
-    # candidates: (nk * ng) states
     cand_k = np.repeat(np.arange(nk), gs.shape[0])
+    cand_g = np.tile(gs, (nk, 1))
     cand_vec = (kpts[:, None, :] + gs[None, :, :]).reshape(-1, 3)
     energy = 0.5 * np.sum(cand_vec**2, axis=-1)
-    # deterministic: sort by (energy, k index, g index)
+    return cand_k, cand_g, cand_vec, energy
+
+
+def fill_states(
+    kpts: np.ndarray, prim_recip: np.ndarray, n: int, policy: str = "auto"
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Occupied plane-wave states for one spin channel.
+
+    Returns (k_reduced (n, 3), q_full (n, 3)) with q = k + G. The reduced
+    k's feed the network's Bloch phases; the full q's define plane-wave
+    pretraining orbitals.
+    """
+    nk = kpts.shape[0]
+    if policy == "auto":
+        policy = "uniform" if n % nk == 0 else "fermi"
+    cand_k, cand_g, cand_vec, energy = _candidates(kpts, prim_recip, n)
     order = np.lexsort((np.arange(len(energy)), cand_k, np.round(energy, 10)))
-    return cand_k[order[:n]]
+    if policy == "fermi":
+        sel = order[:n]
+        sel = sel[np.argsort(cand_k[sel], kind="stable")]
+    elif policy == "uniform":
+        if n % nk != 0:
+            raise ValueError(f"uniform filling needs nk={nk} to divide n={n}")
+        per_k = n // nk
+        sel = []
+        for ki in range(nk):
+            mine = order[cand_k[order] == ki]
+            sel.extend(mine[:per_k])
+        sel = np.asarray(sel)
+    else:
+        raise ValueError(f"Unknown filling policy: {policy}")
+    return kpts[cand_k[sel]], cand_vec[sel]
 
 
 def fill_klist(
     kpts: np.ndarray, prim_recip: np.ndarray, n: int, policy: str = "auto"
 ) -> np.ndarray:
     """Occupied k-vector per orbital, shape (n, 3)."""
-    nk = kpts.shape[0]
-    if policy == "auto":
-        policy = "uniform" if n % nk == 0 else "fermi"
-    if policy == "uniform":
-        if n % nk != 0:
-            raise ValueError(
-                f"uniform filling needs nk={nk} to divide n={n}"
-            )
-        idx = np.repeat(np.arange(nk), n // nk)
-    elif policy == "fermi":
-        idx = np.sort(_fill_fermi(kpts, prim_recip, n))
-    else:
-        raise ValueError(f"Unknown filling policy: {policy}")
-    return kpts[idx]
+    return fill_states(kpts, prim_recip, n, policy)[0]
 
 
 def free_electron_klist(
@@ -77,5 +93,19 @@ def free_electron_klist(
     prim_recip = reciprocal_vectors(sc.prim.lattice)
     return tuple(
         fill_klist(kpts, prim_recip, n, policy) if n > 0 else np.zeros((0, 3))
+        for n in sc.nelec
+    )
+
+
+def plane_wave_states(
+    sc: Supercell, twist=(0.0, 0.0, 0.0), policy: str = "auto"
+) -> Tuple[Tuple[np.ndarray, np.ndarray], ...]:
+    """((k_up, q_up), (k_dn, q_dn)) occupied plane-wave states per spin."""
+    kpts = twisted_kpts(sc, twist)
+    prim_recip = reciprocal_vectors(sc.prim.lattice)
+    return tuple(
+        fill_states(kpts, prim_recip, n, policy)
+        if n > 0
+        else (np.zeros((0, 3)), np.zeros((0, 3)))
         for n in sc.nelec
     )

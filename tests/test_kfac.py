@@ -1,0 +1,164 @@
+"""Native KFAC optimizer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsolid_tpu.models.network import NetworkConfig, make_network
+from deepsolid_tpu.optim.kfac import KfacOptimizer, pi_adjusted_inverse, psd_inv_cholesky
+from deepsolid_tpu.sampling.init import init_electrons
+from deepsolid_tpu.scf.free_electron import free_electron_klist
+
+from fixtures import lih_supercell
+
+
+def small_setup(batch=16):
+    sc = lih_supercell()
+    net = make_network(
+        sc,
+        free_electron_klist(sc),
+        NetworkConfig(hidden_dims=((16, 4), (16, 4)), determinants=2),
+    )
+    key = jax.random.PRNGKey(0)
+    params = net.init(key)
+    data = init_electrons(key, sc, sc.nelec, batch_size=batch)
+    opt = KfacOptimizer(
+        network=net, learning_rate_schedule=lambda t: 0.05, damping=1e-3
+    )
+    return sc, net, params, data, opt
+
+
+def test_psd_inv_cholesky():
+    rng = np.random.RandomState(0)
+    m = rng.randn(5, 5)
+    f = m @ m.T
+    inv = psd_inv_cholesky(jnp.asarray(f), 0.1)
+    np.testing.assert_allclose(
+        np.asarray(inv), np.linalg.inv(f + 0.1 * np.eye(5)), rtol=1e-8
+    )
+
+
+def test_pi_adjusted_inverse_reconstruction():
+    """Damped Kronecker inverse: (A x G + lambda I)^-1 approx inv0 x inv1."""
+    rng = np.random.RandomState(1)
+    a = rng.randn(4, 4)
+    a = a @ a.T + 0.5 * np.eye(4)
+    g = rng.randn(3, 3)
+    g = g @ g.T + 0.5 * np.eye(3)
+    # exact in the lam -> 0 limit
+    inv0, inv1 = pi_adjusted_inverse(jnp.asarray(a), jnp.asarray(g), 1e-14)
+    kron_inv = np.kron(np.asarray(inv0), np.asarray(inv1))
+    np.testing.assert_allclose(
+        kron_inv, np.linalg.inv(np.kron(a, g)), rtol=1e-4, atol=1e-7
+    )
+    # with damping it's the pi-split approximation: (A+pi*sqrt(l))x(G+sqrt(l)/pi)
+    # whose cross terms scale as sqrt(lam); just require the right ballpark
+    lam = 1e-3
+    inv0, inv1 = pi_adjusted_inverse(jnp.asarray(a), jnp.asarray(g), lam)
+    kron_inv = np.kron(np.asarray(inv0), np.asarray(inv1))
+    exact = np.linalg.inv(np.kron(a, g) + lam * np.eye(12))
+    err = np.abs(kron_inv - exact).max() / np.abs(exact).max()
+    assert err < 0.15, err
+
+
+def test_zero_factor_guard():
+    z = jnp.zeros((3, 3))
+    g = jnp.eye(2)
+    inv0, inv1 = pi_adjusted_inverse(z, g, 0.01)
+    assert np.all(np.isfinite(np.asarray(inv0)))
+    np.testing.assert_allclose(np.asarray(inv0), np.eye(3) / np.sqrt(0.01))
+
+
+def test_state_and_curvature_shapes():
+    sc, net, params, data, opt = small_setup()
+    state = opt.init(params, data)
+    reg = net.layer_registry(params)
+    assert set(state["blocks"]) == set(reg)
+    # envelope params are covered by diagonal blocks
+    assert any("envelope" in k for k in state["diag"])
+
+    state2 = opt.update_curvature(state, params, data)
+    for name, block in state2["blocks"].items():
+        a = np.asarray(block["a_raw"])
+        g = np.asarray(block["g_raw"])
+        np.testing.assert_allclose(a, a.T, atol=1e-10)
+        np.testing.assert_allclose(g, g.T, atol=1e-10)
+        # PSD: eigenvalues >= 0
+        assert np.linalg.eigvalsh(a).min() > -1e-10
+        assert np.linalg.eigvalsh(g).min() > -1e-10
+        assert float(block["weight"]) == 1.0
+
+
+def test_capture_dy_matches_autodiff():
+    """dy for a layer equals sqrt(2) * d(log psi)/d(layer output)."""
+    sc, net, params, data, opt = small_setup(batch=2)
+    taps, dy, diag_grads = opt._capture(params, data)
+    name = "orbital_0"
+
+    # independent computation via jacrev on the eps-perturbed forward
+    shapes = opt._tap_shapes(params, data.shape[-1:],
+                             jax.tree_util.tree_leaves(params)[0].dtype)
+    out_shape = shapes[name][1]
+
+    def f(e):
+        def one(x, e1):
+            return net.logdet_with_taps(params, x, eps={name: e1})[0]
+
+        return jax.vmap(one)(data, e)
+
+    eps0 = jnp.zeros((2,) + out_shape)
+    jac_re = jax.jacrev(lambda e: f(e).real.sum())(eps0)
+    jac_im = jax.jacrev(lambda e: f(e).imag.sum())(eps0)
+    np.testing.assert_allclose(
+        np.asarray(dy[name][0]), np.sqrt(2) * np.asarray(jac_re), rtol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(dy[name][1]), np.sqrt(2) * np.asarray(jac_im), rtol=1e-8
+    )
+
+
+def test_step_norm_constraint():
+    """lr^2 * <precond, grads> <= norm_constraint after scaling."""
+    sc, net, params, data, opt = small_setup()
+    state = opt.init(params, data)
+    state = opt.update_curvature(state, params, data)
+
+    # fake grads: use parameter-shaped random values
+    key = jax.random.PRNGKey(5)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    grads = jax.tree_util.tree_unflatten(
+        treedef,
+        [jax.random.normal(jax.random.fold_in(key, i), l.shape, l.dtype)
+         for i, l in enumerate(leaves)],
+    )
+    new_params, new_state = opt.step_fn(params, state, grads, opt.damping)
+    assert int(new_state["step"]) == 1
+    # update actually changed the params and is finite
+    diffs = jax.tree_util.tree_map(lambda a, b: np.abs(np.asarray(a - b)).max(),
+                                   new_params, params)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+    assert all(
+        np.all(np.isfinite(np.asarray(v)))
+        for v in jax.tree_util.tree_leaves(new_params)
+    )
+
+
+def test_kfac_e2e_training():
+    """KFAC drives the H2 energy down over a short run."""
+    import tempfile
+
+    from deepsolid_tpu.train import process
+    from test_train_e2e import small_cfg
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        cfg = small_cfg(tmpdir, "kfac", iterations=30)
+        cfg.optim.lr.rate = 0.05
+        params, data, energy = process.process(cfg)
+        assert np.isfinite(energy)
+        import os
+
+        csv = os.path.join(tmpdir, "train_stats.csv")
+        rows = [l.split(",") for l in open(csv).read().strip().split("\n")[1:]]
+        energies = np.array([float(r[1]) for r in rows])
+        assert np.mean(energies[-5:]) < np.mean(energies[:5])
