@@ -18,12 +18,21 @@ def make_local_energy(
     supercell,
     mode: str = "partition",
     partition_number: int = 3,
+    network=None,
 ) -> Callable:
     """Builds E_L(params, x) -> (kinetic complex, ewald real) for one walker.
 
-    f(params, x) must return complex log psi.
+    f(params, x) must return complex log psi. mode='forward' uses the
+    forward-Laplacian engine and requires `network` (the Network object).
     """
-    kinetic = make_kinetic(f, mode=mode, partition_number=partition_number)
+    if mode == "forward":
+        if network is None:
+            raise ValueError("laplacian mode 'forward' requires network=")
+        from deepsolid_tpu.models.fwdlap_forward import make_kinetic_forward
+
+        kinetic = make_kinetic_forward(network)
+    else:
+        kinetic = make_kinetic(f, mode=mode, partition_number=partition_number)
     ewald = EwaldSum.build(supercell)
 
     def local_energy(params, x) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -1,0 +1,253 @@
+"""Forward-Laplacian evaluation of the periodic FermiNet kinetic energy.
+
+One network traversal carrying (value, Jacobian, Laplacian) jets replaces
+the 3N JVP-of-grad re-traversals of the reference's Laplacian ladder
+(DeepSolid/hamiltonian.py:45-159). Key structural savings:
+  * two-electron stream jets stay PAIR-SPARSE (6 tangents instead of 3N):
+    h2[i,j] never mixes with other pairs through the double stream;
+  * ONE LU factorization per determinant instead of 3N;
+  * the dense-tangent axis (3N) rides the MXU as a batched matmul dim.
+
+Mirrors models/network.py:orbital_matrices step by step; tests assert the
+value and the kinetic energy agree with the standard path + hessian mode.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from deepsolid_tpu.models import envelopes as envelopes_lib
+from deepsolid_tpu.models import features as features_lib
+from deepsolid_tpu.models.network import NetworkConfig, SystemSpec
+from deepsolid_tpu.ops import fwdlap as fl
+from deepsolid_tpu.ops.distance import enforce_pbc
+
+
+def _channel_ranges(spins):
+    ranges = []
+    start = 0
+    for s in spins:
+        if s > 0:
+            ranges.append((start, start + s))
+        start += s
+    return ranges
+
+
+def _dense_rows_global(jac3: jnp.ndarray, n_total: int, offset: int):
+    """(3, rows, ...) row-sparse jac -> (3*n_total, rows, ...) dense jac,
+    where row r corresponds to global electron offset + r."""
+    rows = jac3.shape[1]
+    out = jnp.zeros((n_total, 3) + jac3.shape[1:], dtype=jac3.dtype)
+    idx_e = offset + jnp.arange(rows)
+    out = out.at[idx_e, :, jnp.arange(rows)].set(jnp.moveaxis(jac3, 0, 1))
+    return out.reshape((3 * n_total,) + jac3.shape[1:])
+
+
+def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig) -> fl.Jet:
+    """Jet of complex log psi wrt the 3N electron coordinates."""
+    dtype = x.dtype
+    spins = spec.spins
+    n = spec.nelectron
+    pos = x.reshape(n, 3)
+    atoms = jnp.asarray(spec.atoms, dtype)
+    dist_fn = features_lib._DISTANCE_FNS[cfg.distance_type]
+    rel = features_lib.REL_DIMS[cfg.distance_type]
+    natom = atoms.shape[0]
+    prim_av = jnp.asarray(spec.prim_av, dtype)
+    prim_bv = jnp.asarray(spec.prim_bv, dtype)
+    sim_av = jnp.asarray(spec.sim_av, dtype)
+    sim_bv = jnp.asarray(spec.sim_bv, dtype)
+
+    # ---- electron-atom features: per-electron jets ---------------------------
+    def ae_feat(r):
+        pr, _ = enforce_pbc(spec.prim_lattice, r)
+        disp = pr - atoms
+        sd, rl = dist_fn(disp, prim_av, prim_bv)
+        return jnp.concatenate([sd[..., None], rl], axis=-1)  # (natom, rel+1)
+
+    ae = jax.vmap(lambda r: fl.jet_of_function(ae_feat, r))(pos)
+    # vmap puts the electron axis first; tangent axis second for jac
+    ae_jet = fl.Jet(
+        val=ae.val,                      # (n, natom, rel+1)
+        jac=jnp.moveaxis(ae.jac, 1, 0),  # (3, n, natom, rel+1)
+        lap=ae.lap,
+    )
+    h_one = fl.Jet(
+        val=ae_jet.val.reshape(n, natom * (rel + 1)),
+        jac=fl.dense_from_electron_rows(
+            ae_jet.jac.reshape(3, n, natom * (rel + 1))
+        ),
+        lap=ae_jet.lap.reshape(n, natom * (rel + 1)),
+    )
+
+    # ---- electron-electron features: pair-sparse jets ------------------------
+    sim_x, _ = enforce_pbc(spec.sim_lattice, x)
+    sim_pos = sim_x.reshape(n, 3)
+    eye = jnp.eye(n, dtype=dtype)
+    u = sim_pos[:, None, :] - sim_pos[None, :, :] + eye[..., None]
+
+    def ee_feat(uv):
+        sd, rl = dist_fn(uv, sim_av, sim_bv)
+        return jnp.concatenate([sd[None], rl], axis=-1)  # (rel+1,)
+
+    ee = jax.vmap(jax.vmap(lambda uv: fl.jet_of_function(ee_feat, uv)))(u)
+    ju = jnp.moveaxis(ee.jac, 2, 0)  # (3, n, n, rel+1) wrt u
+    mask = (1.0 - eye)[..., None]
+    h_two = fl.Jet(
+        val=ee.val * mask,
+        jac=jnp.concatenate([ju, -ju], axis=0) * mask[None],  # (6, n, n, rel+1)
+        lap=2.0 * ee.lap * mask,  # Lap_{r_i} + Lap_{r_j} = 2 Lap_u
+    )
+
+    ranges = _channel_ranges(spins)
+
+    # ---- symmetric feature mixing ---------------------------------------------
+    def symmetric(h1: fl.Jet, h2: fl.Jet) -> fl.Jet:
+        parts = [h1]
+        for (s, e) in ranges:
+            g = fl.mean_axis(fl.slice_axis(h1, 0, s, e), axis=0, keepdims=True)
+            parts.append(fl.tile_rows(g, n))
+        for (s, e) in ranges:
+            parts.append(
+                fl.Jet(
+                    val=jnp.mean(h2.val[s:e], axis=0),
+                    jac=fl.dense_row_mean_from_pairs(h2.jac, s, e),
+                    lap=jnp.mean(h2.lap[s:e], axis=0),
+                )
+            )
+        return fl.concat(parts, axis=1)
+
+    sqrt2 = jnp.sqrt(jnp.asarray(2.0, dtype))
+
+    def residual(old: fl.Jet, new: fl.Jet) -> fl.Jet:
+        if old.val.shape == new.val.shape:
+            return fl.scale(fl.add(old, new), 1.0 / sqrt2)
+        return new
+
+    n_double = len(params["double"])
+    for i in range(n_double):
+        h_one_in = symmetric(h_one, h_two)
+        p1 = params["single"][i]
+        h_one_next = fl.tanh(fl.dense(h_one_in, p1["w"], p1.get("b")))
+        p2 = params["double"][i]
+        h_two_next = fl.tanh(fl.dense(h_two, p2["w"], p2.get("b")))
+        h_one = residual(h_one, h_one_next)
+        h_two = residual(h_two, h_two_next)
+
+    if n_double != len(params["single"]):
+        h_one_in = symmetric(h_one, h_two)
+        p1 = params["single"][-1]
+        h_one = residual(h_one, fl.tanh(fl.dense(h_one_in, p1["w"], p1.get("b"))))
+        h_to_orbitals = h_one
+    else:
+        h_to_orbitals = symmetric(h_one, h_two)
+
+    # ---- orbital heads ----------------------------------------------------------
+    envelope_fn = envelopes_lib.ENVELOPES[cfg.envelope_type]
+    active = [s for s in spins if s > 0]
+    klist = [jnp.asarray(k, dtype) for k in spec.klist]
+    if cfg.full_det:
+        k_cols = jnp.concatenate(klist, axis=0)
+
+    sign_total = None
+    l_total = None
+    channel_jets = []
+    for ch, (s, e) in enumerate(ranges):
+        spin = e - s
+        h = fl.slice_axis(h_to_orbitals, 0, s, e)
+        raw = fl.dense(h, params["orbital"][ch]["w"],
+                       params["orbital"][ch].get("b"))
+        nparam = raw.val.shape[-1] // 2
+        orb = fl.complexify(
+            fl.slice_axis(raw, 1, 0, nparam),
+            fl.slice_axis(raw, 1, nparam, 2 * nparam),
+        )
+
+        # envelope: per-electron function of r -> (nparam,)
+        env_params = params["envelope"][ch]
+
+        def env_fn(r, env_params=env_params):
+            pr, _ = enforce_pbc(spec.prim_lattice, r)
+            disp = pr - atoms
+            sd, rl = dist_fn(disp, prim_av, prim_bv)
+            to_env = sd[..., None] if cfg.envelope_type == "isotropic" else rl
+            return envelope_fn(to_env[None], env_params)[0]  # (nparam,)
+
+        envr = jax.vmap(lambda r: fl.jet_of_function(env_fn, r))(pos[s:e])
+        env_jet = fl.Jet(
+            val=envr.val,
+            jac=_dense_rows_global(jnp.moveaxis(envr.jac, 1, 0), n, s),
+            lap=envr.lap,
+        )
+        orb = fl.mul(orb, env_jet)
+
+        norb = sum(spins) if cfg.full_det else spin
+        orb = fl.linear_op(
+            lambda v: v.reshape(v.shape[:-2] + (spin, cfg.determinants, norb))
+            .swapaxes(-3, -2),
+            orb,
+        )
+        # Wait: reshape acts on (spin, nparam) -> (spin, ndet, norb) then
+        # transpose to (ndet, spin, norb); linear_op vmaps over tangents.
+
+        # Bloch phases: analytic per-electron jets
+        kcol = k_cols if cfg.full_det else klist[ch]  # (norb, 3)
+        phase_val = jnp.exp(1j * pos[s:e] @ kcol.T)  # (spin, norb)
+        phase_jac3 = (
+            1j * kcol.T[:, None, :] * phase_val[None]
+        )  # (3, spin, norb)
+        phase_jet = fl.Jet(
+            val=phase_val,
+            jac=_dense_rows_global(phase_jac3, n, s),
+            lap=-jnp.sum(kcol**2, axis=-1)[None] * phase_val,
+        )
+        # broadcast phases over the det axis
+        phase_b = fl.linear_op(
+            lambda v: jnp.broadcast_to(
+                v[..., None, :, :], v.shape[:-2] + (cfg.determinants,) + v.shape[-2:]
+            ),
+            phase_jet,
+        )
+        orb = fl.mul(orb, phase_b)
+        channel_jets.append(orb)
+
+    if cfg.full_det:
+        mats = [fl.concat(channel_jets, axis=1)]
+    else:
+        mats = channel_jets
+
+    for mat in mats:
+        sign, l = fl.slogdet_jet(mat)
+        if l_total is None:
+            sign_total, l_total = sign, l
+        else:
+            sign_total = sign_total * sign
+            l_total = fl.add(l_total, l)
+
+    return fl.logsumexp_det_jet(sign_total, l_total)
+
+
+def make_kinetic_forward(network) -> Callable:
+    """kinetic(params, x) -> complex local kinetic via forward Laplacian."""
+    spec, cfg = network.spec, network.cfg
+
+    def kinetic(params, x):
+        jet = network_jets(params, x, spec, cfg)
+        return -0.5 * (jet.lap + jnp.sum(jet.jac**2))
+
+    return kinetic
+
+
+def make_logpsi_and_kinetic(network) -> Callable:
+    """(params, x) -> (log psi complex, kinetic complex) in one pass."""
+    spec, cfg = network.spec, network.cfg
+
+    def both(params, x):
+        jet = network_jets(params, x, spec, cfg)
+        return jet.val, -0.5 * (jet.lap + jnp.sum(jet.jac**2))
+
+    return both

@@ -1,0 +1,283 @@
+"""Forward-Laplacian jet algebra.
+
+Propagates triples (value, Jacobian, Laplacian) — "jets" — through the
+network in ONE forward pass, so the kinetic energy costs one traversal with
+a tangent batch axis (MXU-friendly batched matmuls) instead of the 3N
+re-traversals of JVP-of-grad engines, and ONE LU factorization per
+determinant instead of 3N (the dominant O(N^3) saving; cf. the
+forward-Laplacian method of arXiv:2307.08214).
+
+Jet conventions:
+  val: array of shape S
+  jac: array of shape (T,) + S — derivatives along T tangent directions.
+       T = 3N for dense jets; T = 3 for electron-sparse rows (derivative
+       wrt that row's own electron); T = 6 for pair-sparse (wrt r_i, r_j).
+  lap: array of shape S — FULL Laplacian over all 3N coordinates (the
+       representation of jac does not change what lap means).
+
+Sparse reps exist because the two-electron stream never mixes pairs: each
+h2[i, j] stays a function of (r_i, r_j) through every double layer, so its
+Jacobian has 6 meaningful directions, not 3N. Mixing (means over rows)
+converts sparse jets to dense ones (see to_dense_* functions).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class Jet:
+    val: jnp.ndarray
+    jac: jnp.ndarray  # (T,) + val.shape
+    lap: jnp.ndarray  # val.shape
+
+    def tree_flatten(self):
+        return (self.val, self.jac, self.lap), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def ntangent(self):
+        return self.jac.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# linear ops (same op on val/lap; vmapped over the tangent axis for jac)
+# ---------------------------------------------------------------------------
+
+
+def linear_op(op: Callable, *jets: Jet, **kwargs) -> Jet:
+    """Applies a linear array op to a jet elementwise over components."""
+    return Jet(
+        val=op(*[j.val for j in jets], **kwargs),
+        jac=jax.vmap(lambda *a: op(*a, **kwargs))(*[j.jac for j in jets]),
+        lap=op(*[j.lap for j in jets], **kwargs),
+    )
+
+
+def add(a: Jet, b: Jet) -> Jet:
+    return Jet(a.val + b.val, a.jac + b.jac, a.lap + b.lap)
+
+
+def add_const(a: Jet, c) -> Jet:
+    return Jet(a.val + c, a.jac, a.lap)
+
+
+def scale(a: Jet, c) -> Jet:
+    return Jet(a.val * c, a.jac * c, a.lap * c)
+
+
+def reshape(a: Jet, shape) -> Jet:
+    return Jet(
+        a.val.reshape(shape),
+        a.jac.reshape((a.jac.shape[0],) + tuple(shape)),
+        a.lap.reshape(shape),
+    )
+
+
+def concat(jets: Sequence[Jet], axis: int) -> Jet:
+    ax = axis if axis >= 0 else axis  # jac axis shifts by +1 for axis >= 0
+    jac_axis = ax + 1 if ax >= 0 else ax
+    return Jet(
+        jnp.concatenate([j.val for j in jets], axis=ax),
+        jnp.concatenate([j.jac for j in jets], axis=jac_axis),
+        jnp.concatenate([j.lap for j in jets], axis=ax),
+    )
+
+
+def slice_axis(a: Jet, axis: int, start: int, stop: int) -> Jet:
+    idx = [slice(None)] * a.val.ndim
+    idx[axis] = slice(start, stop)
+    idx = tuple(idx)
+    jidx = (slice(None),) + idx
+    return Jet(a.val[idx], a.jac[jidx], a.lap[idx])
+
+
+def mean_axis(a: Jet, axis: int, keepdims: bool = False) -> Jet:
+    return Jet(
+        jnp.mean(a.val, axis=axis, keepdims=keepdims),
+        jnp.mean(a.jac, axis=axis + 1 if axis >= 0 else axis, keepdims=keepdims),
+        jnp.mean(a.lap, axis=axis, keepdims=keepdims),
+    )
+
+
+def sum_axis(a: Jet, axis: int, keepdims: bool = False) -> Jet:
+    return Jet(
+        jnp.sum(a.val, axis=axis, keepdims=keepdims),
+        jnp.sum(a.jac, axis=axis + 1 if axis >= 0 else axis, keepdims=keepdims),
+        jnp.sum(a.lap, axis=axis, keepdims=keepdims),
+    )
+
+
+def tile_rows(a: Jet, reps: int) -> Jet:
+    """jnp.tile(x, [reps, 1]) for a (1, d)-shaped jet."""
+    return Jet(
+        jnp.tile(a.val, [reps, 1]),
+        jnp.tile(a.jac, [1, reps, 1]),
+        jnp.tile(a.lap, [reps, 1]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# nonlinear ops
+# ---------------------------------------------------------------------------
+
+
+def dense(a: Jet, w, b=None) -> Jet:
+    """y = x @ w (+ b): Jacobian rides the MXU as a batched matmul."""
+    val = a.val @ w
+    if b is not None:
+        val = val + b
+    return Jet(val, a.jac @ w, a.lap @ w)
+
+
+def tanh(a: Jet) -> Jet:
+    t = jnp.tanh(a.val)
+    d = 1.0 - t * t
+    dd = -2.0 * t * d
+    return Jet(t, d[None] * a.jac, d * a.lap + dd * jnp.sum(a.jac**2, axis=0))
+
+
+def exp(a: Jet) -> Jet:
+    e = jnp.exp(a.val)
+    return Jet(e, e[None] * a.jac, e * (a.lap + jnp.sum(a.jac**2, axis=0)))
+
+
+def absolute(a: Jet) -> Jet:
+    s = jnp.sign(a.val)
+    return Jet(jnp.abs(a.val), s[None] * a.jac, s * a.lap)
+
+
+def mul(a: Jet, b: Jet) -> Jet:
+    """Product rule; a and b must share the same tangent representation."""
+    cross = 2.0 * jnp.sum(a.jac * b.jac, axis=0)
+    return Jet(
+        a.val * b.val,
+        a.jac * b.val[None] + a.val[None] * b.jac,
+        a.lap * b.val + a.val * b.lap + cross,
+    )
+
+
+def mul_const(a: Jet, c) -> Jet:
+    # trailing-dim broadcasting aligns c with both val (S) and jac ((T,)+S)
+    return Jet(a.val * c, a.jac * c, a.lap * c)
+
+
+def complexify(re: Jet, im: Jet) -> Jet:
+    return Jet(re.val + 1j * im.val, re.jac + 1j * im.jac, re.lap + 1j * im.lap)
+
+
+# ---------------------------------------------------------------------------
+# autodiff jet seeding: jets of f(r) for a single 3-vector input
+# ---------------------------------------------------------------------------
+
+
+def jet_of_function(f: Callable, r: jnp.ndarray) -> Jet:
+    """Jets of f: R^3 -> pytree-free array, tangents = the 3 coords of r.
+
+    jac: (3,) + out_shape; lap: trace of the 3x3 Hessian per output.
+    """
+    val = f(r)
+    eye = jnp.eye(3, dtype=r.dtype)
+    jac = jax.vmap(lambda e: jax.jvp(f, (r,), (e,))[1])(eye)
+    # Hessian diagonal via jvp of the jacobian-vector function
+    def hvp(e):
+        return jax.jvp(lambda y: jax.jvp(f, (y,), (e,))[1], (r,), (e,))[1]
+
+    lap = jnp.sum(jax.vmap(hvp)(eye), axis=0)
+    return Jet(val, jac, lap)
+
+
+# ---------------------------------------------------------------------------
+# sparse -> dense conversions
+# ---------------------------------------------------------------------------
+
+
+def dense_from_electron_rows(jac3: jnp.ndarray) -> jnp.ndarray:
+    """(3, N, ...) electron-sparse jac -> (3N, N, ...) dense jac.
+
+    Row i depends only on r_i: dense[(3i+c), i, ...] = jac3[c, i, ...].
+    """
+    n = jac3.shape[1]
+    out = jnp.zeros((n, 3) + jac3.shape[1:], dtype=jac3.dtype)
+    idx = jnp.arange(n)
+    out = out.at[idx, :, idx].set(jnp.moveaxis(jac3, 0, 1))
+    return out.reshape((3 * n,) + jac3.shape[1:])
+
+
+def dense_jet_from_electron_rows(jet: Jet) -> Jet:
+    return Jet(jet.val, dense_from_electron_rows(jet.jac), jet.lap)
+
+
+def dense_row_mean_from_pairs(
+    jac6: jnp.ndarray, row_start: int, row_stop: int
+) -> jnp.ndarray:
+    """Dense jac of g[j,...] = mean_{i in [row_start,row_stop)} h2[i,j,...].
+
+    jac6: (6, N, N, ...) pair-sparse jac of h2 (first 3 dirs wrt r_i,
+    last 3 wrt r_j). Returns (3N, N, ...).
+    """
+    n = jac6.shape[1]
+    n_rows = row_stop - row_start
+    # term 1: d/dr_i contributions, i in the averaged channel
+    j_i = jac6[:3, row_start:row_stop]  # (3, n_rows, N, ...)
+    term1 = jnp.zeros((n, 3) + jac6.shape[2:], dtype=jac6.dtype)
+    term1 = term1.at[row_start:row_stop].set(
+        jnp.moveaxis(j_i, 0, 1) / n_rows
+    )
+    term1 = term1.reshape((3 * n,) + jac6.shape[2:])
+    # term 2: d/dr_j contributions (same j as the output row)
+    s = jnp.mean(jac6[3:, row_start:row_stop], axis=1)  # (3, N, ...)
+    term2 = dense_from_electron_rows(s)
+    return term1 + term2
+
+
+# ---------------------------------------------------------------------------
+# determinant head rules
+# ---------------------------------------------------------------------------
+
+
+def slogdet_jet(mat: Jet) -> Tuple[jnp.ndarray, Jet]:
+    """(sign, jet of log det A) for a jet of square matrices (..., n, n).
+
+    For each matrix: d log det = tr(A^-1 dA);
+    Lap log det = tr(A^-1 Lap A) - sum_t tr((A^-1 J_t A)(A^-1 J_t A)).
+    One LU per matrix (vs 3N in JVP-of-grad engines).
+    """
+    a = mat.val
+    lu, piv = jax.scipy.linalg.lu_factor(a)
+    sign, logdet = jnp.linalg.slogdet(a)
+
+    solve = functools.partial(jax.scipy.linalg.lu_solve, (lu, piv))
+    b = jax.vmap(solve)(mat.jac)  # (T, ..., n, n) = A^-1 J_t
+    jac = jnp.trace(b, axis1=-2, axis2=-1)  # (T, ...)
+    lap1 = jnp.trace(solve(mat.lap), axis1=-2, axis2=-1)
+    lap2 = jnp.sum(b * jnp.swapaxes(b, -1, -2), axis=(0, -1, -2))
+    return sign, Jet(logdet, jac, lap1 - lap2)
+
+
+def logsumexp_det_jet(sign, l: Jet, w=None) -> Jet:
+    """Jet of log |sum_d w_d s_d exp(l_d)| + i arg(...): combined over the
+    leading det axis of l. Matches ops/slogdet.logdet_matmul semantics."""
+    lmax = jax.lax.stop_gradient(jnp.max(l.val.real))
+    e = sign * jnp.exp(l.val - lmax)
+    if w is not None:
+        e = e * w
+    s_tot = jnp.sum(e)
+    p = e / s_tot  # complex weights, sum to 1
+    jac = jnp.sum(p[None] * l.jac, axis=1)  # (T,)
+    lap = (
+        jnp.sum(p * (l.lap + jnp.sum(l.jac**2, axis=0)))
+        - jnp.sum(jac**2)
+    )
+    val = jnp.log(jnp.abs(s_tot)) + lmax + 1j * jnp.angle(s_tot)
+    return Jet(val, jac, lap)

@@ -146,7 +146,9 @@ def make_kinetic(f, mode: str = "partition", partition_number: int = 3) -> Calla
     if mode == "hessian":
         return kinetic_hessian(f)
     if mode == "forward":
-        from deepsolid_tpu.ops import fwdlap  # deferred: optional engine
-
-        return fwdlap.kinetic_forward(f)
+        raise ValueError(
+            "mode='forward' needs the Network object; use "
+            "hamiltonian.make_local_energy(..., mode='forward', network=net) "
+            "or models.fwdlap_forward.make_kinetic_forward(net) directly"
+        )
     raise ValueError(f"Unknown laplacian mode: {mode}")

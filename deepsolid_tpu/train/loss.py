@@ -62,16 +62,19 @@ def make_loss(
     mode: str = "partition",
     partition_number: int = 3,
     register_loss_callback: Callable = None,
+    network_obj=None,
 ) -> Callable:
     """total_energy(params, data) -> (loss, AuxiliaryLossData), custom JVP.
 
     `network(params, x)` returns complex log psi for a single walker;
     `batch_network` its batched version. `register_loss_callback` lets the
     KFAC optimizer register psi as a normal predictive distribution
-    (reference: train.py:133).
+    (reference: train.py:133). `network_obj` enables the forward-Laplacian
+    kinetic engine (mode='forward').
     """
     el_fun = make_local_energy(
-        network, supercell, mode=mode, partition_number=partition_number
+        network, supercell, mode=mode, partition_number=partition_number,
+        network=network_obj,
     )
     batch_local_energy = jax.vmap(el_fun, in_axes=(None, 0), out_axes=0)
 

@@ -172,6 +172,7 @@ def process(cfg, max_iterations: Optional[int] = None):
         mode=cfg.optim.laplacian_mode,
         partition_number=cfg.optim.partition_number,
         register_loss_callback=register_loss,
+        network_obj=net,
     )
     val_and_grad = jax.value_and_grad(total_energy, argnums=0, has_aux=True)
 

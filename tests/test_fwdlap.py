@@ -1,0 +1,119 @@
+"""Forward-Laplacian engine: agreement with autodiff oracles."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsolid_tpu.models.fwdlap_forward import (
+    make_kinetic_forward,
+    make_logpsi_and_kinetic,
+    network_jets,
+)
+from deepsolid_tpu.models.network import NetworkConfig, make_network
+from deepsolid_tpu.ops import fwdlap as fl
+from deepsolid_tpu.ops.laplacian import make_kinetic
+from deepsolid_tpu.sampling.init import init_electrons
+from deepsolid_tpu.scf.free_electron import free_electron_klist
+
+from fixtures import h2_supercell, lih_supercell
+
+
+def build(sc, full_det=False, distance_type="nu", envelope="isotropic",
+          dets=2, hidden=((16, 4), (16, 4))):
+    klist = free_electron_klist(sc)
+    net = make_network(
+        sc,
+        klist,
+        NetworkConfig(
+            hidden_dims=hidden,
+            determinants=dets,
+            envelope_type=envelope,
+            full_det=full_det,
+            distance_type=distance_type,
+        ),
+    )
+    key = jax.random.PRNGKey(11)
+    params = net.init(key)
+    x = init_electrons(key, sc, sc.nelec, batch_size=1)[0]
+    return net, params, x
+
+
+def test_jet_algebra_basics():
+    # jets of f(z) = tanh(z @ w) * exp(z1) against autodiff
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(4, 3))
+    z0 = jnp.asarray(rng.randn(4))
+
+    def f(z):
+        return jnp.tanh(z @ w) * jnp.exp(z[1])
+
+    seed = fl.Jet(z0, jnp.eye(4), jnp.zeros(4))
+    z1 = fl.Jet(z0[1:2], jnp.eye(4)[:, 1:2], jnp.zeros((1,)))
+    out = fl.mul(fl.tanh(fl.dense(seed, w)), fl.exp(z1))
+    np.testing.assert_allclose(np.asarray(out.val), np.asarray(f(z0)), rtol=1e-10)
+    jac = jax.jacfwd(f)(z0)
+    np.testing.assert_allclose(np.asarray(out.jac), np.asarray(jac.T), rtol=1e-9)
+    hess = jax.hessian(f)(z0)
+    lap = jnp.trace(hess, axis1=-2, axis2=-1)
+    np.testing.assert_allclose(np.asarray(out.lap), np.asarray(lap), rtol=1e-9)
+
+
+@pytest.mark.parametrize("full_det", [False, True])
+def test_value_matches_network(full_det):
+    sc = lih_supercell()
+    net, params, x = build(sc, full_det=full_det)
+    jet = network_jets(params, x, net.spec, net.cfg)
+    want = net.logdet(params, x)
+    np.testing.assert_allclose(complex(jet.val), complex(want), rtol=1e-9)
+
+
+@pytest.mark.parametrize("distance_type", ["nu", "tri"])
+@pytest.mark.parametrize("full_det", [False, True])
+def test_kinetic_matches_hessian(full_det, distance_type):
+    sc = lih_supercell()
+    net, params, x = build(sc, full_det=full_det, distance_type=distance_type)
+    kin_fwd = make_kinetic_forward(net)
+    kin_ref = make_kinetic(net.logdet, mode="hessian")
+    got = complex(kin_fwd(params, x))
+    want = complex(kin_ref(params, x))
+    np.testing.assert_allclose(got, want, rtol=1e-7)
+
+
+def test_kinetic_matches_hessian_spin_polarized():
+    from deepsolid_tpu.system import Atom, Cell, make_supercell
+
+    # single H atom cell: spins (1, 0) — exercises the single-channel path
+    cell = Cell.from_atoms(
+        [Atom("H", (1.0, 0, 0))], np.diag([2.0, 10.0, 10.0]), spin=1
+    )
+    sc = make_supercell(cell, np.diag([2, 1, 1]))
+    net, params, x = build(sc)
+    got = complex(make_kinetic_forward(net)(params, x))
+    want = complex(make_kinetic(net.logdet, mode="hessian")(params, x))
+    np.testing.assert_allclose(got, want, rtol=1e-7)
+
+
+def test_kinetic_matches_hessian_h2_and_gradjets():
+    sc = h2_supercell()
+    net, params, x = build(sc, dets=4)
+    jet = network_jets(params, x, net.spec, net.cfg)
+    # jac must equal grad of logdet (complex split)
+    gu = jax.grad(lambda p, y: net.logdet(p, y).real, argnums=1)(params, x)
+    gv = jax.grad(lambda p, y: net.logdet(p, y).imag, argnums=1)(params, x)
+    np.testing.assert_allclose(
+        np.asarray(jet.jac), np.asarray(gu + 1j * gv), rtol=1e-7, atol=1e-10
+    )
+
+
+def test_local_energy_forward_mode():
+    from deepsolid_tpu.hamiltonian import make_local_energy
+
+    sc = h2_supercell()
+    net, params, x = build(sc)
+    el_fwd = make_local_energy(net.logdet, sc, mode="forward", network=net)
+    el_ref = make_local_energy(net.logdet, sc, mode="hessian")
+    ke1, ew1 = el_fwd(params, x)
+    ke2, ew2 = el_ref(params, x)
+    np.testing.assert_allclose(complex(ke1), complex(ke2), rtol=1e-7)
+    np.testing.assert_allclose(float(ew1), float(ew2), rtol=1e-10)
