@@ -17,12 +17,13 @@ import time
 
 import numpy as np
 
-# local-energy evals/sec/chip recorded in round 1 on TPU v5e (this repo's
-# own first measurement; the upstream repo publishes no numbers).
-ROUND1_BASELINE = 17.582  # measured 2026-08-16, partition mode, batch 64
+# local-energy evals/sec/chip recorded in round 1 on TPU v5e with the
+# reference-style 'partition' Laplacian engine (varied inputs, batch 16);
+# the upstream repo publishes no numbers of its own.
+ROUND1_BASELINE = 18.58  # measured 2026-08-16
 
 
-def build(S=2, batch=64, mode="partition", partition_number=None):
+def build(S=2, batch=64, mode="forward", partition_number=None):
     import jax
 
     from deepsolid_tpu.hamiltonian import make_local_energy
@@ -43,15 +44,19 @@ def build(S=2, batch=64, mode="partition", partition_number=None):
     data = init_electrons(key, sc, sc.nelec, batch_size=batch)
 
     el = make_local_energy(
-        net.logdet, sc, mode=mode, partition_number=partition_number
+        net.logdet, sc, mode=mode, partition_number=partition_number,
+        network=net,
     )
-    batch_el = jax.jit(jax.vmap(el, in_axes=(None, 0)))
+    raw = jax.vmap(el, in_axes=(None, 0))
+    # fetch real/imag separately: complex host transfers are unimplemented
+    # on the axon TPU backend
+    batch_el = jax.jit(lambda p, d: (lambda ke, ew: (ke.real, ew))(*raw(p, d)))
     return params, data, batch_el, sc
 
 
 def main():
-    batch = 64
-    iters = 8
+    batch = 16
+    iters = 16
     params, data, batch_el, sc = build(S=2, batch=batch)
 
     # compile + warmup
@@ -59,8 +64,9 @@ def main():
     ke.block_until_ready()
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        ke, ew = batch_el(params, data)
+    for i in range(iters):
+        # vary the input so runtime-level result caching cannot kick in
+        ke, ew = batch_el(params, data + 1e-4 * (i + 1))
     ke.block_until_ready()
     dt = time.perf_counter() - t0
 

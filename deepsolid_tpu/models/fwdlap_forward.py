@@ -132,16 +132,16 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig) -> fl.Jet:
     for i in range(n_double):
         h_one_in = symmetric(h_one, h_two)
         p1 = params["single"][i]
-        h_one_next = fl.tanh(fl.dense(h_one_in, p1["w"], p1.get("b")))
+        h_one_next = fl.dense_tanh(h_one_in, p1["w"], p1.get("b"))
         p2 = params["double"][i]
-        h_two_next = fl.tanh(fl.dense(h_two, p2["w"], p2.get("b")))
+        h_two_next = fl.dense_tanh(h_two, p2["w"], p2.get("b"))
         h_one = residual(h_one, h_one_next)
         h_two = residual(h_two, h_two_next)
 
     if n_double != len(params["single"]):
         h_one_in = symmetric(h_one, h_two)
         p1 = params["single"][-1]
-        h_one = residual(h_one, fl.tanh(fl.dense(h_one_in, p1["w"], p1.get("b"))))
+        h_one = residual(h_one, fl.dense_tanh(h_one_in, p1["w"], p1.get("b")))
         h_to_orbitals = h_one
     else:
         h_to_orbitals = symmetric(h_one, h_two)

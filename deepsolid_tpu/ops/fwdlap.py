@@ -147,6 +147,48 @@ def tanh(a: Jet) -> Jet:
     return Jet(t, d[None] * a.jac, d * a.lap + dd * jnp.sum(a.jac**2, axis=0))
 
 
+_FUSED_DENSE_TANH = None  # None = auto (TPU + f32); True/False to force
+
+
+def set_fused_kernels(enabled):
+    """Force the Pallas fused dense+tanh jet kernel on or off (None=auto)."""
+    global _FUSED_DENSE_TANH
+    _FUSED_DENSE_TANH = enabled
+
+
+def _use_fused(a: Jet, w) -> bool:
+    if _FUSED_DENSE_TANH is not None:
+        return _FUSED_DENSE_TANH
+    return (
+        jax.default_backend() == "tpu"
+        and a.val.dtype == jnp.float32
+        and w.dtype == jnp.float32
+    )
+
+
+def dense_tanh(a: Jet, w, b) -> Jet:
+    """Fused tanh(dense(.)) jet rule; Pallas kernel on TPU/f32 (keeps the
+    (T, n, d_out) jac@w intermediate VMEM-resident), jnp composition
+    elsewhere."""
+    if b is None or not _use_fused(a, w):
+        return tanh(dense(a, w, b))
+    from deepsolid_tpu.ops.pallas.jet_kernels import fused_dense_tanh_jet
+
+    t_dim = a.jac.shape[0]
+    lead = a.val.shape[:-1]
+    d_in = a.val.shape[-1]
+    val2 = a.val.reshape(-1, d_in)
+    jac2 = a.jac.reshape(t_dim, -1, d_in)
+    lap2 = a.lap.reshape(-1, d_in)
+    v, j, l = fused_dense_tanh_jet(val2, jac2, lap2, w, b)
+    d_out = w.shape[-1]
+    return Jet(
+        v.reshape(lead + (d_out,)),
+        j.reshape((t_dim,) + lead + (d_out,)),
+        l.reshape(lead + (d_out,)),
+    )
+
+
 def exp(a: Jet) -> Jet:
     e = jnp.exp(a.val)
     return Jet(e, e[None] * a.jac, e * (a.lap + jnp.sum(a.jac**2, axis=0)))

@@ -1,0 +1,152 @@
+"""Pallas TPU kernels for forward-Laplacian jet propagation.
+
+The hot op of the fwdlap trunk is the fused dense+tanh jet rule:
+    z      = val @ w + b            t = tanh(z)   d = 1 - t^2
+    jac_o  = d * (jac @ w)                        (T, n, d_out)
+    lap_o  = d * (lap @ w) + (-2 t d) * sum_t (jac @ w)^2
+
+Unfused, the (T, n, d_out) intermediate jac@w is written to HBM by the
+matmul and re-read twice (scaling by d; squared reduction over T). The
+kernel streams T-chunks of jac through VMEM, accumulating the square-sum
+in scratch, so the biggest tensor of the layer crosses HBM exactly once.
+
+Grid layout: (n_blocks, col_blocks, t_chunks) with t innermost — scratch
+accumulators persist across the sequential TPU grid, reset at t == 0 and
+flushed into lap_o at the last t chunk.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _kernel(val_ref, lap_ref, jac_ref, w_ref, b_ref,
+            val_o_ref, lap_o_ref, jac_o_ref, acc_ref, t_scr_ref):
+    tk = pl.program_id(2)
+    n_tk = pl.num_programs(2)
+    w = w_ref[:]
+
+    @pl.when(tk == 0)
+    def _():
+        z = jnp.dot(val_ref[:], w, preferred_element_type=jnp.float32)
+        z = z + b_ref[:]
+        t = jnp.tanh(z)
+        t_scr_ref[:] = t
+        val_o_ref[:] = t.astype(val_o_ref.dtype)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    t = t_scr_ref[:]
+    d = 1.0 - t * t
+
+    # one batched matmul over the whole t-chunk (MXU-friendly)
+    yj = jax.lax.dot_general(
+        jac_ref[:], w,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bt, bn, bc)
+    jac_o_ref[:] = (d[None] * yj).astype(jac_o_ref.dtype)
+    acc_ref[:] += jnp.sum(yj * yj, axis=0)
+
+    @pl.when(tk == n_tk - 1)
+    def _():
+        yl = jnp.dot(lap_ref[:], w, preferred_element_type=jnp.float32)
+        out = d * yl + (-2.0 * t * d) * acc_ref[:]
+        lap_o_ref[:] = out.astype(lap_o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "block_c", "block_t")
+)
+def fused_dense_tanh_jet(
+    val: jnp.ndarray,   # (n, d_in)
+    jac: jnp.ndarray,   # (T, n, d_in)
+    lap: jnp.ndarray,   # (n, d_in)
+    w: jnp.ndarray,     # (d_in, d_out)
+    b: jnp.ndarray,     # (d_out,)
+    block_n: int = 64,
+    block_c: int = 128,
+    block_t: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(val_out, jac_out, lap_out) of the tanh(dense(.)) jet rule."""
+    t_dim, n, d_in = jac.shape
+    d_out = w.shape[1]
+    bn = min(block_n, _round_up(n, 8))
+    bc = min(block_c, _round_up(d_out, 128))
+    bt = min(block_t, t_dim)
+
+    n_pad = _round_up(n, bn)
+    c_pad = _round_up(d_out, bc)
+    k_pad = _round_up(d_in, 128)
+    t_pad = _round_up(t_dim, bt)
+
+    def pad(x, shape):
+        out = jnp.zeros(shape, x.dtype)
+        return out.at[tuple(slice(0, s) for s in x.shape)].set(x)
+
+    valp = pad(val, (n_pad, k_pad))
+    lapp = pad(lap, (n_pad, k_pad))
+    jacp = pad(jac, (t_pad, n_pad, k_pad))
+    wp = pad(w, (k_pad, c_pad))
+    bp = pad(b.reshape(1, -1), (1, c_pad))
+
+    grid = (n_pad // bn, c_pad // bc, t_pad // bt)
+    val_o, lap_o, jac_o = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bn, k_pad), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, k_pad), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, bn, k_pad), lambda i, j, k: (k, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, bc), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, bc), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bc), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, bn, bc), lambda i, j, k: (k, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, c_pad), val.dtype),
+            jax.ShapeDtypeStruct((n_pad, c_pad), val.dtype),
+            jax.ShapeDtypeStruct((t_pad, n_pad, c_pad), val.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bn, bc), jnp.float32),
+            pltpu.VMEM((bn, bc), jnp.float32),
+        ],
+    )(valp, lapp, jacp, wp, bp)
+
+    return (
+        val_o[:n, :d_out],
+        jac_o[:t_dim, :n, :d_out],
+        lap_o[:n, :d_out],
+    )
+
+
+def dense_tanh_jet_reference(val, jac, lap, w, b):
+    """jnp reference implementation of the same fused rule."""
+    z = val @ w + b
+    t = jnp.tanh(z)
+    d = 1.0 - t * t
+    yj = jac @ w
+    return t, d * yj, d * (lap @ w) + (-2.0 * t * d) * jnp.sum(yj * yj, axis=0)

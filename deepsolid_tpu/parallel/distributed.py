@@ -1,0 +1,61 @@
+"""Multi-host / pod bootstrap.
+
+The reference ships a dead GPU-only coordinator bootstrap
+(DeepSolid/distributed.py:28-55, never imported; multi-node explicitly
+unsupported, README.md:92-94). The TPU-native replacement is the modern
+`jax.distributed.initialize()` + a global mesh over all devices; walker
+batches shard over hosts automatically through the 'data' axis because
+every array in the training step is a global jax.Array.
+
+On a pod slice this is all that's needed:
+
+    from deepsolid_tpu.parallel import distributed
+    distributed.initialize()          # no-op on a single host
+    process.process(cfg)              # mesh spans the full slice
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from deepsolid_tpu.parallel.mesh import DATA_AXIS
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the JAX distributed runtime (multi-host only).
+
+    With no arguments, TPU pod environments auto-discover everything;
+    single-host runs are a no-op.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        if coordinator_address is None and num_processes is None:
+            # TPU metadata autodetection; harmless no-op on a single host
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+    except (ValueError, RuntimeError) as e:
+        logging.info("jax.distributed.initialize skipped: %s", e)
+    logging.info(
+        "distributed: %d processes, %d global devices",
+        jax.process_count(), jax.device_count(),
+    )
+
+
+def global_mesh(axis: str = DATA_AXIS) -> Mesh:
+    """A 1-D data mesh over ALL devices in the job (all hosts)."""
+    return Mesh(np.asarray(jax.devices()), (axis,))

@@ -1,0 +1,379 @@
+"""Native periodic SCF orbital source (no PySCF).
+
+Solves the k-point core-Hamiltonian problem H_k C_k = S_k C_k eps_k with
+analytic lattice-summed Gaussian integrals (overlap, kinetic) and an
+Ewald-split nuclear attraction (short-range erfc via McMurchie-Davidson,
+long-range via reciprocal-space pair-density Fourier transforms). Bands
+fill by aufbau across all supercell k-points, yielding the occupied k-list
+and MO coefficients for pretraining targets.
+
+Replaces the reference's PySCF HF bridge (hf.py:44-218) for the systems
+the built-in basis covers. The mean-field J/K terms are intentionally
+deferred (core Hamiltonian only): orbitals lack e-e screening but carry
+the right Bloch/band structure, which is what pretraining consumes. The
+G=0 constant of the Ewald potential is dropped — it shifts all
+eigenvalues uniformly and does not affect orbitals or occupations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import scipy.linalg
+
+from deepsolid_tpu.scf import basis as basis_lib
+from deepsolid_tpu.scf import integrals as ints
+from deepsolid_tpu.scf.free_electron import twisted_kpts
+from deepsolid_tpu.scf.gto import PeriodicAOEvaluator, _lattice_images
+from deepsolid_tpu.system.cell import Supercell, reciprocal_vectors
+
+
+def _shell_pairs(shells):
+    out = []
+    ao_off = []
+    off = 0
+    for s in shells:
+        ao_off.append(off)
+        off += s.nfunc
+    for i, si in enumerate(shells):
+        for j, sj in enumerate(shells):
+            out.append((i, j, si, sj, ao_off[i], ao_off[j]))
+    return out, off
+
+
+def _nuclear_sr_block(sa, sb, a_pos, bk, nuc_centers, nuc_z, omega,
+                      inv_lattice, lattice):
+    """Contracted erfc-attenuated nuclear-attraction block (nfa, nfb, nT).
+
+    Shares one Hermite R table (for the erfc = bare - erf difference
+    kernel) across all cartesian components of the shell pair — the
+    dominant cost otherwise repeats it 9x for p-p pairs and 2x per kernel.
+    """
+    la, lb = sa.l, sb.l
+    na, nb = len(sa.exponents), len(sb.exponents)
+    al = sa.exponents.reshape(na, 1, 1, 1)
+    be = sb.exponents.reshape(1, nb, 1, 1)
+    a_p = np.broadcast_to(a_pos, (1, 1, 1, 1, 3))
+    b_p = bk[None, None, :, None]
+    p = al + be
+    mu = al * be / p
+    # wrap the pair center into the home cell (translation invariance)
+    P = (al[..., None] * a_p + be[..., None] * b_p) / p[..., None]
+    shift = np.floor(P.reshape(-1, 3) @ inv_lattice) @ lattice
+    shift = shift.reshape(P.shape)
+    a_sh = a_p - shift
+    b_sh = b_p - shift
+    P = P - shift
+    pc = P - nuc_centers[None, None, None, :]
+    r2 = np.sum(pc * pc, axis=-1)
+    ab = a_sh - b_sh
+
+    # E coefficients per dimension at the pair's max angular momenta
+    es = []
+    for d in range(3):
+        x = ab[..., d]
+        kab = np.exp(-mu * x * x)
+        es.append(
+            ints.e_coeffs(la, lb, p, -(be / p) * x, (al / p) * x, kab)
+        )
+
+    theta2 = omega**2 / (omega**2 + p)
+    sq_theta = np.sqrt(theta2)
+
+    def fns(n):  # erfc kernel = bare - erf difference, one table
+        return (-2.0 * p) ** n * (
+            ints.boys(n, p * r2)
+            - sq_theta * theta2**n * ints.boys(n, theta2 * p * r2)
+        )
+
+    r_tab = ints.hermite_r(la + lb, p, pc, fns)
+
+    norm_a = basis_lib.primitive_norm(sa.exponents, la)
+    norm_b = basis_lib.primitive_norm(sb.exponents, lb)
+    ca = (sa.coefficients * norm_a).reshape(na, 1, 1, 1)
+    cb = (sb.coefficients * norm_b).reshape(1, nb, 1, 1)
+    weight = 2.0 * np.pi / p * ca * cb
+
+    rows = []
+    for la3 in ints.CART[la]:
+        cols = []
+        for lb3 in ints.CART[lb]:
+            acc = 0.0
+            for t in range(la3[0] + lb3[0] + 1):
+                et = es[0].get((la3[0], lb3[0], t))
+                if et is None:
+                    continue
+                for u in range(la3[1] + lb3[1] + 1):
+                    eu = es[1].get((la3[1], lb3[1], u))
+                    if eu is None:
+                        continue
+                    for v in range(la3[2] + lb3[2] + 1):
+                        ev = es[2].get((la3[2], lb3[2], v))
+                        if ev is None:
+                            continue
+                        acc = acc + (et * eu * ev) * r_tab[(t, u, v)]
+            block = np.einsum("abtc,c->abt", weight * acc, -nuc_z)
+            cols.append(block.sum(axis=(0, 1)))
+        rows.append(cols)
+    return np.array(rows)  # (nfa, nfb, nT)
+
+
+def _contracted(block_fn, sa, sb, b_shift):
+    """Contract a primitive-pair integral over both shells' primitives.
+
+    block_fn(la3, lb3, alpha, beta) -> array over (na_prim, nb_prim) +
+    extra dims; returns (nfunc_a, nfunc_b) + extra dims.
+    """
+    na = ints.CART[sa.l]
+    nb = ints.CART[sb.l]
+    norm_a = basis_lib.primitive_norm(sa.exponents, sa.l)
+    norm_b = basis_lib.primitive_norm(sb.exponents, sb.l)
+    ca = sa.coefficients * norm_a
+    cb = sb.coefficients * norm_b
+    alpha = sa.exponents[:, None]
+    beta = sb.exponents[None, :]
+    rows = []
+    for la3 in na:
+        cols = []
+        for lb3 in nb:
+            prim = block_fn(la3, lb3, alpha, beta)
+            cols.append(np.einsum("a,b,ab...->...", ca, cb, prim))
+        rows.append(cols)
+    return np.array(rows)
+
+
+def core_matrices(
+    cell,
+    shells,
+    kpts: np.ndarray,
+    beta: float = None,
+    eps: float = 1e-12,
+):
+    """(S_k, T_k, V_k) arrays of shape (nk, nao, nao), complex."""
+    lattice = np.asarray(cell.lattice)
+    volume = abs(np.linalg.det(lattice))
+    charges = np.asarray(cell.atom_charges)
+    coords = np.asarray(cell.atom_coords)
+
+    if beta is None:
+        # Balance real-space erfc images (cost ~ (1/beta)^3 / V) against
+        # reciprocal G points (cost ~ V beta^3): optimum beta ~ V^{-1/3}.
+        # (Tying beta to the smallest height like the Ewald energy does
+        # explodes the G count for strongly anisotropic cells.)
+        beta = 5.0 / volume ** (1.0 / 3.0)
+
+    # pair images: overlap decays with reduced exponent mu
+    alpha_min = min(float(s.exponents.min()) for s in shells)
+    mu_min = alpha_min / 2.0
+    rcut_pair = np.sqrt(-np.log(eps) / mu_min)
+    images = _lattice_images(lattice, rcut_pair)
+
+    # nuclear centers for the erfc short-range part: pair centers P are
+    # wrapped into the home cell (translation invariance), so a SMALL
+    # image set around it suffices regardless of how far the pair image is
+    rcut_sr = 5.5 / beta
+    cell_center = lattice.sum(0) / 2
+    half_diag = np.linalg.norm(cell_center)
+    nuc_images = _lattice_images(lattice, rcut_sr + 2 * half_diag)
+    nuc_centers = (coords[:, None, :] + nuc_images[None, :, :]).reshape(-1, 3)
+    nuc_z = np.repeat(charges, nuc_images.shape[0])
+    # wrapped pair centers live in the home cell: only nuclei within
+    # rcut_sr of it contribute to the erfc sum
+    keep_nuc = (
+        np.linalg.norm(nuc_centers - cell_center, axis=1)
+        <= rcut_sr + half_diag + 1e-9
+    )
+    nuc_centers = nuc_centers[keep_nuc]
+    nuc_z = nuc_z[keep_nuc]
+    inv_lattice = np.linalg.inv(lattice)
+
+    # reciprocal vectors for the long-range part
+    from deepsolid_tpu.ops.ewald import _gpoints_in_cutoff
+
+    gpts, _ = _gpoints_in_cutoff(
+        2 * np.pi * np.linalg.inv(lattice).T, beta, volume, 1e-12
+    )
+    gw = (
+        4.0 * np.pi
+        * np.exp(-np.sum(gpts**2, -1) / (4 * beta**2))
+        / (volume * np.sum(gpts**2, -1))
+    )
+    n_g = np.exp(-1j * gpts @ coords.T) @ charges  # nuclear structure factor
+
+    pairs, nao = _shell_pairs(shells)
+    nk = kpts.shape[0]
+    s_k = np.zeros((nk, nao, nao), np.complex128)
+    t_k = np.zeros((nk, nao, nao), np.complex128)
+    v_k = np.zeros((nk, nao, nao), np.complex128)
+    phases = np.exp(1j * kpts @ images.T)  # (nk, nT)
+
+    chunk = 256  # pair images per sweep: bounds peak memory
+
+    for (i, j, si, sj, oi, oj) in pairs:
+        a_pos = si.center
+        b_pos = sj.center[None, :] + images  # (nT, 3)
+        ab = a_pos[None, :] - b_pos  # (nT, 3)
+        # screen images by pair Gaussian decay
+        mu_pair = (si.exponents.min() * sj.exponents.min()) / (
+            si.exponents.min() + sj.exponents.min()
+        )
+        keep = mu_pair * np.sum(ab * ab, -1) < -np.log(eps)
+        if not np.any(keep):
+            continue
+        abk_all = ab[keep]
+        bk_all = b_pos[keep]
+        ph_all = phases[:, keep]  # (nk, nTk)
+
+        for c0 in range(0, abk_all.shape[0], chunk):
+            abk = abk_all[c0:c0 + chunk]
+            bk = bk_all[c0:c0 + chunk]
+            ph = ph_all[:, c0:c0 + chunk]
+
+            def s_fn(la3, lb3, alpha, beta_):
+                return ints.overlap_prim(
+                    la3, lb3, alpha[..., None], beta_[..., None],
+                    abk[None, None],
+                )
+
+            def t_fn(la3, lb3, alpha, beta_):
+                return ints.kinetic_prim(
+                    la3, lb3, alpha[..., None], beta_[..., None],
+                    abk[None, None],
+                )
+
+            s_blk = _contracted(s_fn, si, sj, abk)  # (nfa, nfb, nTc)
+            t_blk = _contracted(t_fn, si, sj, abk)
+
+            v_sr_blk = _nuclear_sr_block(
+                si, sj, a_pos, bk, nuc_centers, nuc_z, beta,
+                inv_lattice, lattice,
+            )
+
+            def ft_fn(la3, lb3, alpha, beta_):
+                return ints.pair_density_ft(
+                    la3,
+                    lb3,
+                    alpha[..., None],
+                    beta_[..., None],
+                    np.broadcast_to(a_pos, (1, 1, 1, 3)),
+                    bk[None, None],
+                    gpts,
+                )
+
+            rho = _contracted(ft_fn, si, sj, abk)  # (nfa, nfb, nTc, ng)
+            v_lr_blk = -2.0 * np.real(
+                np.einsum("abtg,g,g->abt", np.conj(rho), n_g, gw)
+            )
+
+            nfa, nfb = s_blk.shape[0], s_blk.shape[1]
+            s_k[:, oi:oi + nfa, oj:oj + nfb] += np.einsum(
+                "kt,abt->kab", ph, s_blk
+            )
+            t_k[:, oi:oi + nfa, oj:oj + nfb] += np.einsum(
+                "kt,abt->kab", ph, t_blk
+            )
+            v_k[:, oi:oi + nfa, oj:oj + nfb] += np.einsum(
+                "kt,abt->kab", ph, v_sr_blk + v_lr_blk
+            )
+
+    return s_k, t_k, v_k
+
+
+def _solve_bands(h_k, s_k, lindep: float = 1e-8):
+    """Generalized eigenproblem per k with canonical orthogonalization."""
+    eps_all, c_all = [], []
+    for h, s in zip(h_k, s_k):
+        s = (s + s.conj().T) / 2
+        w, u = np.linalg.eigh(s)
+        keep = w > lindep * w.max()
+        x = u[:, keep] / np.sqrt(w[keep])
+        hp = x.conj().T @ ((h + h.conj().T) / 2) @ x
+        e, cp = np.linalg.eigh(hp)
+        eps_all.append(e)
+        c_all.append(x @ cp)
+    return eps_all, c_all
+
+
+@dataclasses.dataclass
+class ScfOrbitals:
+    """Orbital source backed by the native periodic SCF."""
+
+    evaluator: PeriodicAOEvaluator
+    c_occ: Tuple[List[np.ndarray], List[np.ndarray]]  # per spin: per k
+    klist: Tuple[np.ndarray, np.ndarray]
+    spins: Tuple[int, int]
+    band_energies: List[np.ndarray]
+
+    @classmethod
+    def build(cls, sc: Supercell, basis: str = "sto-3g",
+              twist=(0.0, 0.0, 0.0)) -> "ScfOrbitals":
+        prim = sc.prim
+        shells = basis_lib.build_shells(prim, basis)
+        kpts = twisted_kpts(sc, twist)
+        s_k, t_k, v_k = core_matrices(prim, shells, kpts)
+        eps_all, c_all = _solve_bands(t_k + v_k, s_k)
+
+        # aufbau over (k, band) per spin channel
+        flat = [
+            (e, ki, bi)
+            for ki, es in enumerate(eps_all)
+            for bi, e in enumerate(es)
+        ]
+        flat.sort(key=lambda x: (round(x[0], 9), x[1], x[2]))
+        c_occ = ([], [])
+        klists = ([], [])
+        for s, n_s in enumerate(sc.nelec):
+            occ = flat[:n_s]
+            per_k = {ki: [] for ki in range(kpts.shape[0])}
+            for e, ki, bi in occ:
+                per_k[ki].append(bi)
+            for ki in range(kpts.shape[0]):
+                bands = sorted(per_k[ki])
+                c_occ[s].append(c_all[ki][:, bands])
+                klists[s].extend([kpts[ki]] * len(bands))
+        klist = tuple(
+            np.asarray(kl).reshape(-1, 3) if kl else np.zeros((0, 3))
+            for kl in klists
+        )
+        evaluator = PeriodicAOEvaluator.build(prim, shells, kpts)
+        return cls(
+            evaluator=evaluator,
+            c_occ=c_occ,
+            klist=klist,
+            spins=tuple(sc.nelec),
+            band_energies=eps_all,
+        )
+
+    # ---- device-side evaluation (jittable) ----------------------------------
+    def orbital_mats(self, x):
+        """x: (batch, ne*3) -> [(batch, n_s, n_s) complex] per active spin."""
+        import jax.numpy as jnp
+
+        batch = x.shape[0]
+        pos = x.reshape(-1, 3)
+        aos = self.evaluator.eval_aos(pos)  # (nk, batch*ne, nao)
+        ne = sum(self.spins)
+        aos = aos.reshape(aos.shape[0], batch, ne, -1)
+        out = []
+        start = 0
+        for s, n_s in enumerate(self.spins):
+            if n_s == 0:
+                continue
+            rows = aos[:, :, start:start + n_s, :]
+            mos = [
+                rows[k] @ jnp.asarray(self.c_occ[s][k])
+                for k in range(rows.shape[0])
+                if self.c_occ[s][k].shape[1] > 0
+            ]
+            out.append(jnp.concatenate(mos, axis=-1))  # (batch, n_s, n_s)
+            start += n_s
+        return out
+
+    def slogdet(self, x):
+        import jax.numpy as jnp
+
+        mats = self.orbital_mats(x)
+        return sum(jnp.linalg.slogdet(m)[1] for m in mats)

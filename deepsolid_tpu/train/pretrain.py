@@ -66,9 +66,9 @@ def _block_diag_targets(target: List[jnp.ndarray]) -> jnp.ndarray:
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def pretrain(cfg, sc, net, params, data, key, mesh):
+def pretrain(cfg, sc, net, params, data, key, mesh, source=None):
     """Runs cfg.pretrain.iterations of orbital matching. Returns params, data."""
-    source = make_orbital_source(cfg, sc)
+    source = source if source is not None else make_orbital_source(cfg, sc)
     full_det = cfg.network.detnet.full_det
     optimizer = optax.adam(cfg.pretrain.lr)
     opt_state = optimizer.init(jax.device_get(params))

@@ -56,10 +56,12 @@ def resolve_klist(cfg, sc: Supercell):
     )
 
 
-def build_network(cfg, sc: Supercell):
+def build_network(cfg, sc: Supercell, klist_override=None):
     detnet = dict(cfg.network.detnet)
     detnet["hidden_dims"] = tuple(tuple(h) for h in detnet["hidden_dims"])
-    klist = resolve_klist(cfg, sc)
+    klist = (
+        klist_override if klist_override is not None else resolve_klist(cfg, sc)
+    )
     return make_network(sc, klist, NetworkConfig(**detnet))
 
 
@@ -91,7 +93,23 @@ def process(cfg, max_iterations: Optional[int] = None):
         )
 
     sc = _ensure_supercell(cfg.system.cell)
-    net = build_network(cfg, sc)
+
+    # When an orbital source provides pretraining targets, the network's
+    # Bloch phases must use the SAME occupied k-list (the reference gets
+    # both from HF, process.py:87,107-113).
+    orbital_source = None
+    wants_pretrain = (
+        cfg.pretrain.iterations > 0 and cfg.pretrain.method != "none"
+    )
+    if wants_pretrain or (cfg.system.basis and cfg.system.klist_policy == "auto"):
+        from deepsolid_tpu.train import pretrain as pretrain_lib
+
+        orbital_source = pretrain_lib.make_orbital_source(cfg, sc)
+
+    net = build_network(
+        cfg, sc,
+        klist_override=orbital_source.klist if orbital_source else None,
+    )
 
     ckpt_save_path = checkpoint_lib.create_save_path(cfg.log.save_path)
     ckpt_restore_filename = checkpoint_lib.find_last_checkpoint(
@@ -126,12 +144,12 @@ def process(cfg, max_iterations: Optional[int] = None):
         params = jax.device_put(net.init(param_key), repl_sharding)
 
     # ---------------- pretraining ------------------------------------------
-    if t_init == 0 and cfg.pretrain.iterations > 0 and cfg.pretrain.method != "none":
+    if t_init == 0 and wants_pretrain:
         from deepsolid_tpu.train import pretrain as pretrain_lib
 
         key, subkey = jax.random.split(key)
         params, data = pretrain_lib.pretrain(
-            cfg, sc, net, params, data, subkey, mesh
+            cfg, sc, net, params, data, subkey, mesh, source=orbital_source
         )
         checkpoint_lib.save(ckpt_save_path, 0, data, params, None, None)
 

@@ -1,0 +1,50 @@
+"""Profiling hooks (jax.profiler integration).
+
+The reference has no profiling support (SURVEY.md §5). Here traces are a
+first-class utility: wrap any training span in `trace()` to get a
+TensorBoard/XProf trace directory, or use `annotate()` for named regions
+inside jitted steps.
+
+Usage:
+    from deepsolid_tpu.utils import profiling
+    with profiling.trace("/tmp/tb"):
+        for _ in range(10):
+            step(...)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+from typing import Iterator, Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(logdir: str, with_host: bool = True) -> Iterator[None]:
+    """Capture a device+host trace for the enclosed span."""
+    jax.profiler.start_trace(logdir, create_perfetto_link=False)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        logging.info("Profiler trace written to %s", logdir)
+
+
+def annotate(name: str):
+    """Named trace region (shows up in XProf timelines)."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+@contextlib.contextmanager
+def timed(name: str, sync: bool = True) -> Iterator[None]:
+    """Wall-clock a host span (blocks on async dispatch when sync=True)."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        if sync:
+            (jax.device_put(0.0) + 0).block_until_ready()
+        logging.info("%s: %.1f ms", name, (time.perf_counter() - t0) * 1e3)

@@ -1,0 +1,55 @@
+"""Pallas jet kernels: interpret-mode correctness against the jnp rule."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.experimental import pallas as pl
+
+
+def make_case(t_dim=12, n=10, d_in=20, d_out=12, seed=0, dtype=jnp.float32):
+    rng = np.random.RandomState(seed)
+    val = jnp.asarray(rng.randn(n, d_in), dtype)
+    jac = jnp.asarray(rng.randn(t_dim, n, d_in), dtype)
+    lap = jnp.asarray(rng.randn(n, d_in), dtype)
+    w = jnp.asarray(rng.randn(d_in, d_out) / np.sqrt(d_in), dtype)
+    b = jnp.asarray(rng.randn(d_out), dtype)
+    return val, jac, lap, w, b
+
+
+@pytest.mark.parametrize("shape", [(12, 10, 20, 12), (8, 4, 132, 256)])
+def test_fused_dense_tanh_jet_interpret(shape, monkeypatch):
+    from deepsolid_tpu.ops.pallas import jet_kernels
+
+    # run the pallas kernel in interpreter mode on CPU
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(jet_kernels.pl, "pallas_call", interp_call)
+
+    t_dim, n, d_in, d_out = shape
+    val, jac, lap, w, b = make_case(t_dim, n, d_in, d_out)
+    got = jet_kernels.fused_dense_tanh_jet(val, jac, lap, w, b,
+                                           block_n=8, block_c=128, block_t=4)
+    want = jet_kernels.dense_tanh_jet_reference(val, jac, lap, w, b)
+    for g, wnt, name in zip(got, want, ("val", "jac", "lap")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wnt), rtol=2e-5, atol=2e-5, err_msg=name
+        )
+
+
+def test_fwdlap_dense_tanh_wrapper_fallback():
+    """On CPU the wrapper must silently use the jnp path and agree."""
+    from deepsolid_tpu.ops import fwdlap as fl
+
+    val, jac, lap, w, b = make_case(6, 5, 8, 4, dtype=jnp.float64)
+    jet = fl.Jet(val, jac, lap)
+    out = fl.dense_tanh(jet, w, b)
+    ref = fl.tanh(fl.dense(jet, w, b))
+    np.testing.assert_allclose(np.asarray(out.val), np.asarray(ref.val))
+    np.testing.assert_allclose(np.asarray(out.jac), np.asarray(ref.jac))
+    np.testing.assert_allclose(np.asarray(out.lap), np.asarray(ref.lap))
