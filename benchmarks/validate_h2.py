@@ -16,7 +16,7 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def main(iterations=1500, batch=1024, L=20.0):
+def main(iterations=1500, batch=1024, L=20.0, optimizer="kfac", lr=0.05):
     from deepsolid_tpu import config as config_lib
     from deepsolid_tpu.system import Atom, Cell, make_supercell
     from deepsolid_tpu.train import process
@@ -31,18 +31,20 @@ def main(iterations=1500, batch=1024, L=20.0):
     cfg.system.basis = "sto-3g"
     cfg.batch_size = batch
     cfg.optim.iterations = iterations
-    cfg.optim.optimizer = "kfac"
+    cfg.optim.optimizer = optimizer
     cfg.optim.laplacian_mode = "forward"
-    cfg.optim.lr.rate = 0.05
+    cfg.optim.lr.rate = lr
     cfg.mcmc.burn_in = 100
     cfg.mcmc.steps = 20
     cfg.mcmc.init_width = 1.0
+    cfg.mcmc.move_width = 0.3
+    cfg.mcmc.adapt_frequency = 25
     cfg.network.detnet.hidden_dims = ((64, 16), (64, 16), (64, 16))
     cfg.network.detnet.determinants = 4
     cfg.pretrain.method = "net"
     cfg.pretrain.iterations = 200
-    cfg.log.save_path = "/tmp/h2_validation"
-    cfg.log.stats_frequency = 25
+    cfg.log.save_path = f"/tmp/h2_validation_{optimizer}"
+    cfg.log.stats_frequency = 10
     cfg.log.save_frequency = 1e9
 
     params, data, energy = process.process(cfg)
@@ -50,7 +52,7 @@ def main(iterations=1500, batch=1024, L=20.0):
     import pandas as _unused  # noqa: F401  (keep optional)
 
     # average the last 20% of logged energies
-    rows = open("/tmp/h2_validation/train_stats.csv").read().strip().split("\n")[1:]
+    rows = open(cfg.log.save_path + "/train_stats.csv").read().strip().split("\n")[1:]
     energies = np.array([float(r.split(",")[1]) for r in rows])
     tail = energies[int(0.8 * len(energies)):]
     print(
@@ -65,4 +67,6 @@ def main(iterations=1500, batch=1024, L=20.0):
 if __name__ == "__main__":
     its = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
     b = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    main(its, b)
+    opt = sys.argv[3] if len(sys.argv) > 3 else "kfac"
+    lr = float(sys.argv[4]) if len(sys.argv) > 4 else 0.05
+    main(its, b, optimizer=opt, lr=lr)

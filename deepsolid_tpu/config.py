@@ -53,6 +53,9 @@ def default() -> ml_collections.ConfigDict:
                 "ministeps": 1,
                 "laplacian_mode": "partition",  # 'forward'|'partition'|'vmap'|'for'|'hessian'
                 "partition_number": 3,
+                # walkers per local-energy sweep (0 = whole batch at once);
+                # bounds forward-Laplacian jet memory at large batch sizes
+                "el_chunk": 0,
             },
             "log": {
                 "stats_frequency": 1,

@@ -7,9 +7,7 @@ coordinates (diagonal/full), so the envelope itself is lattice-periodic.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def isotropic_envelope(r_ae: jnp.ndarray, params) -> jnp.ndarray:

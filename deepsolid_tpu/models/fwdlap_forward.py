@@ -14,7 +14,6 @@ value and the kinetic energy agree with the standard path + hessian mode.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

@@ -9,11 +9,9 @@ search for highly skewed lattices where the fractional wrap is not exact.
 
 from __future__ import annotations
 
-import functools
 import itertools
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -20,7 +20,6 @@ Engines (reference mode ladder: DeepSolid/hamiltonian.py:45-159):
 
 from __future__ import annotations
 
-import functools
 from typing import Callable
 
 import jax

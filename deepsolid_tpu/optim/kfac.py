@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -384,7 +384,7 @@ class KfacOptimizer:
                 aux.local_energy,
                 aux.variance,
                 aux.imaginary,
-                pmean_if_axis(jnp.mean(aux.kinetic)),
+                pmean_if_axis(jnp.mean(aux.kinetic.real)),
             )
             return params, data, state, pmove, stats
 

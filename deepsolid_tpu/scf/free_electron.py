@@ -19,7 +19,7 @@ straight to the network.
 from __future__ import annotations
 
 import itertools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 

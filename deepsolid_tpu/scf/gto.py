@@ -14,9 +14,8 @@ from __future__ import annotations
 
 import dataclasses
 import itertools
-from typing import List, Sequence
+from typing import Sequence
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

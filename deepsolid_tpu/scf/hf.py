@@ -18,17 +18,15 @@ eigenvalues uniformly and does not affect orbitals or occupations.
 from __future__ import annotations
 
 import dataclasses
-import itertools
-from typing import List, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
-import scipy.linalg
 
 from deepsolid_tpu.scf import basis as basis_lib
 from deepsolid_tpu.scf import integrals as ints
 from deepsolid_tpu.scf.free_electron import twisted_kpts
 from deepsolid_tpu.scf.gto import PeriodicAOEvaluator, _lattice_images
-from deepsolid_tpu.system.cell import Supercell, reciprocal_vectors
+from deepsolid_tpu.system.cell import Supercell
 
 
 def _shell_pairs(shells):

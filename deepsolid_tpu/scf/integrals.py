@@ -12,11 +12,10 @@ tests/test_scf_integrals.py.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Tuple
 
 import numpy as np
-from scipy.special import erf, hyp1f1
+from scipy.special import hyp1f1
 
 
 def boys(n: int, t: np.ndarray) -> np.ndarray:

@@ -16,10 +16,9 @@ Sources:
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List
 
 import jax.numpy as jnp
-import numpy as np
 
 from deepsolid_tpu.scf.free_electron import plane_wave_states
 from deepsolid_tpu.system.cell import Supercell

@@ -7,7 +7,7 @@ Plain dataclass here; coordinates in Bohr.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -19,7 +19,6 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-from deepsolid_tpu.system import elements
 from deepsolid_tpu.system.atom import Atom
 
 

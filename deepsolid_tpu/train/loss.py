@@ -9,8 +9,7 @@ over the data mesh axis so the same code runs single-chip or sharded.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Tuple
+from typing import Any, Callable
 
 import chex
 import jax
@@ -27,6 +26,7 @@ class AuxiliaryLossData:
     imaginary: Any
     kinetic: Any
     ewald: Any
+    finite: Any  # per-walker mask: local energy was finite
 
 
 def clip_local_energy_diff(diff, clip_width: float, clip_type: str):
@@ -63,6 +63,7 @@ def make_loss(
     partition_number: int = 3,
     register_loss_callback: Callable = None,
     network_obj=None,
+    el_chunk: int = 0,
 ) -> Callable:
     """total_energy(params, data) -> (loss, AuxiliaryLossData), custom JVP.
 
@@ -76,12 +77,37 @@ def make_loss(
         network, supercell, mode=mode, partition_number=partition_number,
         network=network_obj,
     )
-    batch_local_energy = jax.vmap(el_fun, in_axes=(None, 0), out_axes=0)
+    vmapped_el = jax.vmap(el_fun, in_axes=(None, 0), out_axes=0)
+
+    if el_chunk and el_chunk > 0:
+        # bound peak memory (forward-Laplacian jets scale with batch):
+        # lax.map over chunks of the walker batch
+        def batch_local_energy(params, data):
+            n = data.shape[0]
+            if n % el_chunk != 0:
+                return vmapped_el(params, data)
+            chunks = data.reshape(n // el_chunk, el_chunk, data.shape[-1])
+            ke, ew = jax.lax.map(lambda d: vmapped_el(params, d), chunks)
+            return ke.reshape(n), ew.reshape(n)
+    else:
+        batch_local_energy = vmapped_el
 
     @jax.custom_jvp
     def total_energy(params, data):
         ke, ew = batch_local_energy(params, data)
         e_l = ke + ew
+        # failure containment: a walker at a node/coalescence point yields
+        # inf/nan local energy, which would poison the mean AND the clip
+        # statistics (the reference's only guard is the optional host-side
+        # check_nan retry, process.py:303-318). Replace non-finite samples
+        # by the finite-sample mean so one bad walker costs nothing.
+        finite = jnp.isfinite(e_l.real) & jnp.isfinite(e_l.imag)
+        n_finite = pmean_if_axis(jnp.mean(finite.astype(e_l.real.dtype)),
+                                 DATA_AXIS)
+        safe_mean = pmean_if_axis(
+            jnp.mean(jnp.where(finite, e_l, 0.0)), DATA_AXIS
+        ) / jnp.maximum(n_finite, 1e-12)
+        e_l = jnp.where(finite, e_l, safe_mean)
         mean_e_l = jnp.mean(e_l)
         pmean_loss = pmean_if_axis(mean_e_l, DATA_AXIS)
         variance = pmean_if_axis(
@@ -93,6 +119,8 @@ def make_loss(
             imaginary=pmean_loss.imag,
             kinetic=ke,
             ewald=ew,
+            # stored as float: bool aux fields break custom-JVP tangents
+            finite=finite.astype(e_l.real.dtype),
         )
 
     @total_energy.defjvp
@@ -103,6 +131,11 @@ def make_loss(
         clip_diff = clip_local_energy_diff(diff, clip_local_energy, clip_type)
 
         psi_primal, psi_tangent = jax.jvp(batch_network, primals, tangents)
+        # a walker with a non-finite local energy may also have a
+        # non-finite log-derivative; zero its tangent contribution
+        ok = aux.finite != 0
+        psi_tangent = jnp.where(ok, psi_tangent, 0.0)
+        clip_diff = jnp.where(ok, clip_diff, 0.0)
         if register_loss_callback is not None:
             register_loss_callback(jnp.conjugate(psi_primal)[:, None])
         # mean (not dot): keeps the gradient batch-size independent, which

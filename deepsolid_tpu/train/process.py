@@ -119,7 +119,16 @@ def process(cfg, max_iterations: Optional[int] = None):
     )
 
     seed = 666 if cfg.debug.deterministic else int(1e6 * time.time()) % (2**31)
+    if jax.process_count() > 1 and not cfg.debug.deterministic:
+        # all hosts must agree on the parameter-init key (reference
+        # averages seeds across hosts, process.py:44-63)
+        from jax.experimental import multihost_utils
+
+        seed = int(
+            multihost_utils.broadcast_one_to_all(jnp.asarray(seed))
+        )
     key = jax.random.PRNGKey(seed)
+    key = jax.random.fold_in(key, 0)  # room for per-host streams if needed
 
     data_sharding = NamedSharding(mesh, P(DATA_AXIS))
     repl_sharding = NamedSharding(mesh, P())
@@ -191,6 +200,7 @@ def process(cfg, max_iterations: Optional[int] = None):
         partition_number=cfg.optim.partition_number,
         register_loss_callback=register_loss,
         network_obj=net,
+        el_chunk=cfg.optim.get("el_chunk", 0),
     )
     val_and_grad = jax.value_and_grad(total_energy, argnums=0, has_aux=True)
 
@@ -254,7 +264,7 @@ def process(cfg, max_iterations: Optional[int] = None):
                 aux.local_energy,
                 aux.variance,
                 aux.imaginary,
-                pmean_if_axis(jnp.mean(aux.kinetic)),
+                pmean_if_axis(jnp.mean(aux.kinetic.real)),
             )
             return params, data, opt_state, pmove, stats
 
@@ -287,7 +297,7 @@ def process(cfg, max_iterations: Optional[int] = None):
                 aux.local_energy,
                 aux.variance,
                 aux.imaginary,
-                pmean_if_axis(jnp.mean(aux.kinetic)),
+                pmean_if_axis(jnp.mean(aux.kinetic.real)),
             )
             return params, data, opt_state, pmove, stats
 
@@ -339,6 +349,8 @@ def process(cfg, max_iterations: Optional[int] = None):
     ) as writer:
         for t in range(t_init, iterations):
             key, subkey = jax.random.split(key)
+            if cfg.debug.check_nan:
+                prev = (params, data, opt_state)
             params, data, opt_state, pmove, stats = train_step(
                 params, data, opt_state, subkey, mcmc_width
             )
@@ -347,14 +359,18 @@ def process(cfg, max_iterations: Optional[int] = None):
             if cfg.debug.check_nan:
                 flat = jax.tree_util.tree_leaves((params, loss))
                 if not all(bool(jnp.all(jnp.isfinite(v))) for v in flat):
-                    raise FloatingPointError(f"Non-finite value at step {t}")
+                    # retry semantics: discard this step and keep going
+                    # (reference: process.py:303-318)
+                    logging.warning("Non-finite update at step %d; retrying", t)
+                    params, data, opt_state = prev
+                    continue
 
             pmove_val = float(pmove)
             if t % cfg.log.stats_frequency == 0:
                 loss_val = float(loss) / scale
                 var_val = float(variance.real) / scale**2
                 imag_val = float(imaginary) / scale
-                kin_val = complex(kinetic).real / scale
+                kin_val = float(kinetic) / scale
                 ewald_val = loss_val - kin_val
                 logging.info(
                     "%s Step %05d: %.4f E_h, variance=%.4f, pmove=%.2f, "

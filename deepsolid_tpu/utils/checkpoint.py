@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import datetime
 import os
+import pickle
 import zipfile
 from typing import Optional
 
@@ -28,7 +29,8 @@ def find_last_checkpoint(ckpt_path: Optional[str] = None) -> Optional[str]:
                 with open(fname, "rb") as fh:
                     np.load(fh, allow_pickle=True)
                 return fname
-            except (OSError, EOFError, zipfile.BadZipFile):
+            except (OSError, EOFError, ValueError, zipfile.BadZipFile,
+                    pickle.UnpicklingError):
                 continue
     return None
 
