@@ -235,8 +235,15 @@ class Supercell(Cell):
         return cls(**d)
 
 
-def make_supercell(prim: Cell, S, sym_type: Optional[str] = None) -> Supercell:
-    """Tile `prim` by integer matrix S into a simulation `Supercell`."""
+def make_supercell(prim: Cell, S, sym_type: Optional[str] = None,
+                   spin: Optional[int] = None) -> Supercell:
+    """Tile `prim` by integer matrix S into a simulation `Supercell`.
+
+    `spin` overrides the supercell spin (default: prim.spin * scale, the
+    reference's rule, supercell.py:86 — wrong for e.g. antiferromagnetic
+    chains of odd-electron cells, where the simulation cell should pair
+    up).
+    """
     S = np.asarray(S)
     if not np.allclose(S, np.round(S)):
         raise ValueError("S must be an integer matrix")
@@ -260,7 +267,7 @@ def make_supercell(prim: Cell, S, sym_type: Optional[str] = None) -> Supercell:
         atom_coords=coords,
         atom_charges=charges,
         atom_symbols=symbols,
-        spin=prim.spin * scale,
+        spin=prim.spin * scale if spin is None else spin,
         charge=prim.charge * scale,
         sym_type=sym_type,
         prim=prim,
