@@ -46,8 +46,26 @@ def _dense_rows_global(jac3: jnp.ndarray, n_total: int, offset: int):
     return out.reshape((3 * n_total,) + jac3.shape[1:])
 
 
-def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig) -> fl.Jet:
-    """Jet of complex log psi wrt the 3N electron coordinates."""
+def _slice_tangents(jac, deriv_axis):
+    """Keep only this device's tangent slice (dense reps only)."""
+    if deriv_axis is None:
+        return jac
+    size = jax.lax.psum(1, deriv_axis)
+    t_loc = jac.shape[0] // size
+    t0 = jax.lax.axis_index(deriv_axis) * t_loc
+    return jax.lax.dynamic_slice_in_dim(jac, t0, t_loc, axis=0)
+
+
+def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig,
+                 deriv_axis=None) -> fl.Jet:
+    """Jet of complex log psi wrt the 3N electron coordinates.
+
+    `deriv_axis`: optional mesh axis name over which the 3N tangent
+    columns are sharded (the TPU analog of sequence/context parallelism
+    for this workload, SURVEY.md §5): every DENSE jet holds only the
+    local tangent slice; cross-tangent contractions psum over the axis.
+    Pair-sparse two-electron jets (6 tangents) stay device-local.
+    """
     dtype = x.dtype
     spins = spec.spins
     n = spec.nelectron
@@ -77,8 +95,11 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig) -> fl.Jet:
     )
     h_one = fl.Jet(
         val=ae_jet.val.reshape(n, natom * (rel + 1)),
-        jac=fl.dense_from_electron_rows(
-            ae_jet.jac.reshape(3, n, natom * (rel + 1))
+        jac=_slice_tangents(
+            fl.dense_from_electron_rows(
+                ae_jet.jac.reshape(3, n, natom * (rel + 1))
+            ),
+            deriv_axis,
         ),
         lap=ae_jet.lap.reshape(n, natom * (rel + 1)),
     )
@@ -114,7 +135,9 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig) -> fl.Jet:
             parts.append(
                 fl.Jet(
                     val=jnp.mean(h2.val[s:e], axis=0),
-                    jac=fl.dense_row_mean_from_pairs(h2.jac, s, e),
+                    jac=_slice_tangents(
+                        fl.dense_row_mean_from_pairs(h2.jac, s, e), deriv_axis
+                    ),
                     lap=jnp.mean(h2.lap[s:e], axis=0),
                 )
             )
@@ -131,7 +154,8 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig) -> fl.Jet:
     for i in range(n_double):
         h_one_in = symmetric(h_one, h_two)
         p1 = params["single"][i]
-        h_one_next = fl.dense_tanh(h_one_in, p1["w"], p1.get("b"))
+        h_one_next = fl.dense_tanh(h_one_in, p1["w"], p1.get("b"),
+                                   axis_name=deriv_axis)
         p2 = params["double"][i]
         h_two_next = fl.dense_tanh(h_two, p2["w"], p2.get("b"))
         h_one = residual(h_one, h_one_next)
@@ -140,7 +164,10 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig) -> fl.Jet:
     if n_double != len(params["single"]):
         h_one_in = symmetric(h_one, h_two)
         p1 = params["single"][-1]
-        h_one = residual(h_one, fl.dense_tanh(h_one_in, p1["w"], p1.get("b")))
+        h_one = residual(
+            h_one,
+            fl.dense_tanh(h_one_in, p1["w"], p1.get("b"), axis_name=deriv_axis),
+        )
         h_to_orbitals = h_one
     else:
         h_to_orbitals = symmetric(h_one, h_two)
@@ -179,10 +206,13 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig) -> fl.Jet:
         envr = jax.vmap(lambda r: fl.jet_of_function(env_fn, r))(pos[s:e])
         env_jet = fl.Jet(
             val=envr.val,
-            jac=_dense_rows_global(jnp.moveaxis(envr.jac, 1, 0), n, s),
+            jac=_slice_tangents(
+                _dense_rows_global(jnp.moveaxis(envr.jac, 1, 0), n, s),
+                deriv_axis,
+            ),
             lap=envr.lap,
         )
-        orb = fl.mul(orb, env_jet)
+        orb = fl.mul(orb, env_jet, axis_name=deriv_axis)
 
         norb = sum(spins) if cfg.full_det else spin
         orb = fl.linear_op(
@@ -201,7 +231,9 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig) -> fl.Jet:
         )  # (3, spin, norb)
         phase_jet = fl.Jet(
             val=phase_val,
-            jac=_dense_rows_global(phase_jac3, n, s),
+            jac=_slice_tangents(
+                _dense_rows_global(phase_jac3, n, s), deriv_axis
+            ),
             lap=-jnp.sum(kcol**2, axis=-1)[None] * phase_val,
         )
         # broadcast phases over the det axis
@@ -211,7 +243,7 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig) -> fl.Jet:
             ),
             phase_jet,
         )
-        orb = fl.mul(orb, phase_b)
+        orb = fl.mul(orb, phase_b, axis_name=deriv_axis)
         channel_jets.append(orb)
 
     if cfg.full_det:
@@ -220,23 +252,27 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig) -> fl.Jet:
         mats = channel_jets
 
     for mat in mats:
-        sign, l = fl.slogdet_jet(mat)
+        sign, l = fl.slogdet_jet(mat, axis_name=deriv_axis)
         if l_total is None:
             sign_total, l_total = sign, l
         else:
             sign_total = sign_total * sign
             l_total = fl.add(l_total, l)
 
-    return fl.logsumexp_det_jet(sign_total, l_total)
+    return fl.logsumexp_det_jet(sign_total, l_total, axis_name=deriv_axis)
 
 
-def make_kinetic_forward(network) -> Callable:
-    """kinetic(params, x) -> complex local kinetic via forward Laplacian."""
+def make_kinetic_forward(network, deriv_axis=None) -> Callable:
+    """kinetic(params, x) -> complex local kinetic via forward Laplacian.
+
+    With `deriv_axis`, the 3N tangent columns shard over that mesh axis.
+    """
     spec, cfg = network.spec, network.cfg
 
     def kinetic(params, x):
-        jet = network_jets(params, x, spec, cfg)
-        return -0.5 * (jet.lap + jnp.sum(jet.jac**2))
+        jet = network_jets(params, x, spec, cfg, deriv_axis=deriv_axis)
+        grad2 = fl._tsum(jet.jac[:, None] ** 2, deriv_axis)[0]
+        return -0.5 * (jet.lap + grad2)
 
     return kinetic
 
@@ -248,5 +284,6 @@ def make_logpsi_and_kinetic(network) -> Callable:
     def both(params, x):
         jet = network_jets(params, x, spec, cfg)
         return jet.val, -0.5 * (jet.lap + jnp.sum(jet.jac**2))
+
 
     return both

@@ -31,6 +31,18 @@ import jax
 import jax.numpy as jnp
 
 
+def _tsum(x, axis_name=None):
+    """Sum over the (possibly device-sharded) tangent axis.
+
+    With `axis_name` set, jac arrays hold only this device's tangent
+    slice; cross-tangent contractions must psum over the mesh axis.
+    """
+    out = jnp.sum(x, axis=0)
+    if axis_name is not None:
+        out = jax.lax.psum(out, axis_name)
+    return out
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class Jet:
@@ -140,11 +152,11 @@ def dense(a: Jet, w, b=None) -> Jet:
     return Jet(val, a.jac @ w, a.lap @ w)
 
 
-def tanh(a: Jet) -> Jet:
+def tanh(a: Jet, axis_name=None) -> Jet:
     t = jnp.tanh(a.val)
     d = 1.0 - t * t
     dd = -2.0 * t * d
-    return Jet(t, d[None] * a.jac, d * a.lap + dd * jnp.sum(a.jac**2, axis=0))
+    return Jet(t, d[None] * a.jac, d * a.lap + dd * _tsum(a.jac**2, axis_name))
 
 
 _FUSED_DENSE_TANH = None  # None = auto (TPU + f32); True/False to force
@@ -166,12 +178,12 @@ def _use_fused(a: Jet, w) -> bool:
     )
 
 
-def dense_tanh(a: Jet, w, b) -> Jet:
+def dense_tanh(a: Jet, w, b, axis_name=None) -> Jet:
     """Fused tanh(dense(.)) jet rule; Pallas kernel on TPU/f32 (keeps the
     (T, n, d_out) jac@w intermediate VMEM-resident), jnp composition
-    elsewhere."""
-    if b is None or not _use_fused(a, w):
-        return tanh(dense(a, w, b))
+    elsewhere. The fused kernel path requires an unsharded tangent axis."""
+    if b is None or axis_name is not None or not _use_fused(a, w):
+        return tanh(dense(a, w, b), axis_name)
     from deepsolid_tpu.ops.pallas.jet_kernels import fused_dense_tanh_jet
 
     t_dim = a.jac.shape[0]
@@ -189,9 +201,9 @@ def dense_tanh(a: Jet, w, b) -> Jet:
     )
 
 
-def exp(a: Jet) -> Jet:
+def exp(a: Jet, axis_name=None) -> Jet:
     e = jnp.exp(a.val)
-    return Jet(e, e[None] * a.jac, e * (a.lap + jnp.sum(a.jac**2, axis=0)))
+    return Jet(e, e[None] * a.jac, e * (a.lap + _tsum(a.jac**2, axis_name)))
 
 
 def absolute(a: Jet) -> Jet:
@@ -199,9 +211,9 @@ def absolute(a: Jet) -> Jet:
     return Jet(jnp.abs(a.val), s[None] * a.jac, s * a.lap)
 
 
-def mul(a: Jet, b: Jet) -> Jet:
+def mul(a: Jet, b: Jet, axis_name=None) -> Jet:
     """Product rule; a and b must share the same tangent representation."""
-    cross = 2.0 * jnp.sum(a.jac * b.jac, axis=0)
+    cross = 2.0 * _tsum(a.jac * b.jac, axis_name)
     return Jet(
         a.val * b.val,
         a.jac * b.val[None] + a.val[None] * b.jac,
@@ -288,7 +300,7 @@ def dense_row_mean_from_pairs(
 # ---------------------------------------------------------------------------
 
 
-def slogdet_jet(mat: Jet) -> Tuple[jnp.ndarray, Jet]:
+def slogdet_jet(mat: Jet, axis_name=None) -> Tuple[jnp.ndarray, Jet]:
     """(sign, jet of log det A) for a jet of square matrices (..., n, n).
 
     For each matrix: d log det = tr(A^-1 dA);
@@ -303,11 +315,11 @@ def slogdet_jet(mat: Jet) -> Tuple[jnp.ndarray, Jet]:
     b = jax.vmap(solve)(mat.jac)  # (T, ..., n, n) = A^-1 J_t
     jac = jnp.trace(b, axis1=-2, axis2=-1)  # (T, ...)
     lap1 = jnp.trace(solve(mat.lap), axis1=-2, axis2=-1)
-    lap2 = jnp.sum(b * jnp.swapaxes(b, -1, -2), axis=(0, -1, -2))
+    lap2 = _tsum(jnp.sum(b * jnp.swapaxes(b, -1, -2), axis=(-1, -2)), axis_name)
     return sign, Jet(logdet, jac, lap1 - lap2)
 
 
-def logsumexp_det_jet(sign, l: Jet, w=None) -> Jet:
+def logsumexp_det_jet(sign, l: Jet, w=None, axis_name=None) -> Jet:
     """Jet of log |sum_d w_d s_d exp(l_d)| + i arg(...): combined over the
     leading det axis of l. Matches ops/slogdet.logdet_matmul semantics."""
     lmax = jax.lax.stop_gradient(jnp.max(l.val.real))
@@ -318,8 +330,8 @@ def logsumexp_det_jet(sign, l: Jet, w=None) -> Jet:
     p = e / s_tot  # complex weights, sum to 1
     jac = jnp.sum(p[None] * l.jac, axis=1)  # (T,)
     lap = (
-        jnp.sum(p * (l.lap + jnp.sum(l.jac**2, axis=0)))
-        - jnp.sum(jac**2)
+        jnp.sum(p * (l.lap + _tsum(l.jac**2, axis_name)))
+        - _tsum(jac[:, None] ** 2, axis_name)[0]
     )
     val = jnp.log(jnp.abs(s_tot)) + lmax + 1j * jnp.angle(s_tot)
     return Jet(val, jac, lap)
