@@ -24,7 +24,6 @@ import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from deepsolid_tpu import config as config_lib
 from deepsolid_tpu import observables as observables_lib
 from deepsolid_tpu.models.network import NetworkConfig, make_network
 from deepsolid_tpu.parallel import DATA_AXIS, all_mean, local_mesh, pmean_if_axis
