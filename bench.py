@@ -23,7 +23,7 @@ import numpy as np
 ROUND1_BASELINE = 18.58  # measured 2026-08-16
 
 
-def build(S=2, batch=64, mode="forward", partition_number=None):
+def build(S=2, batch=48, mode="forward", partition_number=None):
     import jax
 
     from deepsolid_tpu.hamiltonian import make_local_energy
@@ -55,8 +55,8 @@ def build(S=2, batch=64, mode="forward", partition_number=None):
 
 
 def main():
-    batch = 16
-    iters = 16
+    batch = 48
+    iters = 8
     params, data, batch_el, sc = build(S=2, batch=batch)
 
     # compile + warmup

@@ -79,48 +79,42 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig,
     sim_av = jnp.asarray(spec.sim_av, dtype)
     sim_bv = jnp.asarray(spec.sim_bv, dtype)
 
-    # ---- electron-atom features: per-electron jets ---------------------------
-    def ae_feat(r):
-        pr, _ = enforce_pbc(spec.prim_lattice, r)
-        disp = pr - atoms
-        sd, rl = dist_fn(disp, prim_av, prim_bv)
-        return jnp.concatenate([sd[..., None], rl], axis=-1)  # (natom, rel+1)
-
-    ae = jax.vmap(lambda r: fl.jet_of_function(ae_feat, r))(pos)
-    # vmap puts the electron axis first; tangent axis second for jac
-    ae_jet = fl.Jet(
-        val=ae.val,                      # (n, natom, rel+1)
-        jac=jnp.moveaxis(ae.jac, 1, 0),  # (3, n, natom, rel+1)
-        lap=ae.lap,
-    )
+    # ---- electron-atom features: analytic per-electron jets ------------------
+    jet_fn = features_lib.DISTANCE_JET_FNS[cfg.distance_type]
+    prim_x, _ = enforce_pbc(spec.prim_lattice, x)
+    ae_disp = prim_x.reshape(n, 3)[:, None, :] - atoms[None, :, :]
+    sd, dsd, lap_sd, rl, drl, lap_rl = jet_fn(ae_disp, prim_av, prim_bv)
+    ae_val = jnp.concatenate([sd[..., None], rl], axis=-1)  # (n, natom, rel+1)
+    ae_jac = jnp.concatenate([dsd[..., None], drl], axis=-1)  # (n, natom, 3, rel+1)
+    ae_jac = jnp.moveaxis(ae_jac, 2, 0)  # (3, n, natom, rel+1)
+    ae_lap = jnp.concatenate([lap_sd[..., None], lap_rl], axis=-1)
     h_one = fl.Jet(
-        val=ae_jet.val.reshape(n, natom * (rel + 1)),
+        val=ae_val.reshape(n, natom * (rel + 1)),
         jac=_slice_tangents(
             fl.dense_from_electron_rows(
-                ae_jet.jac.reshape(3, n, natom * (rel + 1))
+                ae_jac.reshape(3, n, natom * (rel + 1))
             ),
             deriv_axis,
         ),
-        lap=ae_jet.lap.reshape(n, natom * (rel + 1)),
+        lap=ae_lap.reshape(n, natom * (rel + 1)),
     )
 
-    # ---- electron-electron features: pair-sparse jets ------------------------
+    # ---- electron-electron features: analytic pair-sparse jets ---------------
     sim_x, _ = enforce_pbc(spec.sim_lattice, x)
     sim_pos = sim_x.reshape(n, 3)
     eye = jnp.eye(n, dtype=dtype)
     u = sim_pos[:, None, :] - sim_pos[None, :, :] + eye[..., None]
-
-    def ee_feat(uv):
-        sd, rl = dist_fn(uv, sim_av, sim_bv)
-        return jnp.concatenate([sd[None], rl], axis=-1)  # (rel+1,)
-
-    ee = jax.vmap(jax.vmap(lambda uv: fl.jet_of_function(ee_feat, uv)))(u)
-    ju = jnp.moveaxis(ee.jac, 2, 0)  # (3, n, n, rel+1) wrt u
+    sd, dsd, lap_sd, rl, drl, lap_rl = jet_fn(u, sim_av, sim_bv)
+    ee_val = jnp.concatenate([sd[..., None], rl], axis=-1)  # (n, n, rel+1)
+    ee_jac = jnp.moveaxis(
+        jnp.concatenate([dsd[..., None], drl], axis=-1), 2, 0
+    )  # (3, n, n, rel+1) wrt u
+    ee_lap = jnp.concatenate([lap_sd[..., None], lap_rl], axis=-1)
     mask = (1.0 - eye)[..., None]
     h_two = fl.Jet(
-        val=ee.val * mask,
-        jac=jnp.concatenate([ju, -ju], axis=0) * mask[None],  # (6, n, n, rel+1)
-        lap=2.0 * ee.lap * mask,  # Lap_{r_i} + Lap_{r_j} = 2 Lap_u
+        val=ee_val * mask,
+        jac=jnp.concatenate([ee_jac, -ee_jac], axis=0) * mask[None],
+        lap=2.0 * ee_lap * mask,  # Lap_{r_i} + Lap_{r_j} = 2 Lap_u
     )
 
     ranges = _channel_ranges(spins)
