@@ -64,3 +64,18 @@ def test_train_none_optimizer():
         cfg.mcmc.burn_in = 1
         params, data, energy = process.process(cfg)
         assert np.isfinite(energy)
+
+
+def test_train_importance_and_one_electron_sampling():
+    """Driver wiring of the Langevin-importance and one-electron MCMC."""
+    from deepsolid_tpu.train import process
+
+    for kind in ("importance", "one_electron"):
+        with tempfile.TemporaryDirectory() as tmpdir:
+            cfg = small_cfg(tmpdir, "adam", iterations=2)
+            if kind == "importance":
+                cfg.mcmc.importance_sampling = True
+            else:
+                cfg.mcmc.one_electron = True
+            params, data, energy = process.process(cfg)
+            assert np.isfinite(energy), kind
