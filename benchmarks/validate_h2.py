@@ -43,7 +43,7 @@ def main(iterations=1500, batch=1024, L=20.0, optimizer="kfac", lr=0.05):
     cfg.network.detnet.determinants = 4
     cfg.pretrain.method = "net"
     cfg.pretrain.iterations = 200
-    cfg.log.save_path = f"/tmp/h2_validation_{optimizer}"
+    cfg.log.save_path = f"/tmp/h2_validation_{optimizer}_b{batch}"
     cfg.log.stats_frequency = 10
     cfg.log.save_frequency = 1e9
 
