@@ -108,6 +108,15 @@ def make_loss(
             jnp.mean(jnp.where(finite, e_l, 0.0)), DATA_AXIS
         ) / jnp.maximum(n_finite, 1e-12)
         e_l = jnp.where(finite, e_l, safe_mean)
+        # sanitize the per-part stats the same way (logging fidelity)
+        ke_mean = pmean_if_axis(
+            jnp.mean(jnp.where(finite, ke, 0.0)), DATA_AXIS
+        ) / jnp.maximum(n_finite, 1e-12)
+        ew_mean = pmean_if_axis(
+            jnp.mean(jnp.where(finite, ew, 0.0)), DATA_AXIS
+        ) / jnp.maximum(n_finite, 1e-12)
+        ke = jnp.where(finite, ke, ke_mean)
+        ew = jnp.where(finite, ew, ew_mean.real)
         mean_e_l = jnp.mean(e_l)
         pmean_loss = pmean_if_axis(mean_e_l, DATA_AXIS)
         variance = pmean_if_axis(
