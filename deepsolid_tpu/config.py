@@ -105,6 +105,9 @@ def default() -> ml_collections.ConfigDict:
                 "iterations": 1000,
                 "lr": 3e-4,
                 "steps": 1,
+                # orbital-source SCF level: 'core' (core-Hamiltonian
+                # bands) or 'hf' (self-consistent UHF, scf/hf.run_uhf)
+                "scf": "core",
             },
         }
     )

@@ -126,8 +126,17 @@ class EwaldSum:
         ion_exp = np.exp(1j * gdotr) @ charges
         ion_ion_rec = float(gweight @ np.abs(ion_exp) ** 2)
         if len(charges) > 1:
-            mi = MinimalImage(latvec)
-            d = np.asarray(mi.dist_matrix(jnp.asarray(coords.reshape(-1))))
+            # host-side float64 minimal image: going through the JAX
+            # MinimalImage here runs a bf16 matmul on TPU backends and
+            # quantizes the ion-ion CONSTANT by O(1e-3) Ha (caught by the
+            # exact-Ewald pair test). 27-image search, pure numpy.
+            diff = coords[:, None, :] - coords[None, :, :]  # (na, na, 3)
+            shifts = pts @ latvec  # reuse the +/-1 integer box below
+            cand = diff[:, :, None, :] + shifts[None, None, :, :]
+            best = np.argmin(np.sum(cand * cand, axis=-1), axis=-1)
+            d = np.take_along_axis(
+                cand, best[:, :, None, None], axis=2
+            )[:, :, 0, :]
             rvec = d[None, :, :, :] + lattice_displacements[:, None, None, :]
             r = np.linalg.norm(rvec, axis=-1)
             # self-pairs at zero displacement are masked by triu; keep them

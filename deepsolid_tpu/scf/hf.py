@@ -277,7 +277,198 @@ def core_matrices(
                 "kt,abt->kab", ph, v_sr_blk + v_lr_blk
             )
 
+    # The real-space erfc image sum carries the SR kernel's zero-momentum
+    # component (int erfc(beta r)/r d^3r = pi/beta^2 per unit charge); the
+    # G = 0-dropped (neutralizing background) convention removes it:
+    # attraction of -Z_tot with that uniform component is
+    # -(pi/(V beta^2)) Z_tot S_k, so add it back. Without this the core
+    # bands carry a spurious O(1/L) shift (caught by the exact Ewald-
+    # potential quadrature in tests/test_scf.py).
+    v_k += (np.pi / (volume * beta**2)) * charges.sum() * s_k
+
     return s_k, t_k, v_k
+
+
+def exx_madelung(lattice_bvk: np.ndarray) -> float:
+    """Madelung constant of the Born-von-Karman supercell for the
+    exxdiv='ewald' exchange correction (probe unit charge + background).
+
+    Mirrors the reference's reliance on PySCF's `tools.madelung`
+    (exchange divergence handling in its KRHF bridge, hf.py:44-218).
+    """
+    from deepsolid_tpu.ops.ewald import EwaldSum
+
+    @dataclasses.dataclass
+    class _Probe:
+        lattice: np.ndarray
+        atom_coords: np.ndarray
+        atom_charges: np.ndarray
+        nelec: Tuple[int, int]
+
+    probe = _Probe(
+        lattice=np.asarray(lattice_bvk),
+        atom_coords=np.zeros((1, 3)),
+        atom_charges=np.ones(1),
+        nelec=(0, 0),
+    )
+    return -2.0 * EwaldSum.build(probe).madelung
+
+
+def _fill_aufbau(eps_all, n_occ):
+    """Global (k, band) aufbau occupation: per-k sorted band index lists."""
+    flat = [
+        (e, ki, bi)
+        for ki, es in enumerate(eps_all)
+        for bi, e in enumerate(es)
+    ]
+    flat.sort(key=lambda x: (round(x[0], 9), x[1], x[2]))
+    per_k = {ki: [] for ki in range(len(eps_all))}
+    for e, ki, bi in flat[:n_occ]:
+        per_k[ki].append(bi)
+    return [sorted(per_k[ki]) for ki in range(len(eps_all))]
+
+
+def _density(c_all, occ):
+    nao = c_all[0].shape[0]
+    dm = np.zeros((len(c_all), nao, nao), np.complex128)
+    for ki, (c, bands) in enumerate(zip(c_all, occ)):
+        co = c[:, bands]
+        dm[ki] = co @ co.conj().T
+    return dm
+
+
+class _Diis:
+    """Pulay DIIS over flattened Fock matrices."""
+
+    def __init__(self, max_vec: int = 8):
+        self.f: List[np.ndarray] = []
+        self.e: List[np.ndarray] = []
+        self.max_vec = max_vec
+
+    def update(self, f_flat: np.ndarray, err_flat: np.ndarray) -> np.ndarray:
+        self.f.append(f_flat)
+        self.e.append(err_flat)
+        if len(self.f) > self.max_vec:
+            self.f.pop(0)
+            self.e.pop(0)
+        n = len(self.f)
+        if n < 2:
+            return f_flat
+        b = np.empty((n + 1, n + 1), np.complex128)
+        b[:n, :n] = np.array(
+            [[np.vdot(ei, ej) for ej in self.e] for ei in self.e]
+        )
+        b[n, :] = -1.0
+        b[:, n] = -1.0
+        b[n, n] = 0.0
+        rhs = np.zeros(n + 1, np.complex128)
+        rhs[n] = -1.0
+        try:
+            coeff = np.linalg.solve(b, rhs)[:n]
+        except np.linalg.LinAlgError:
+            return f_flat
+        return sum(c * f for c, f in zip(coeff, self.f))
+
+
+@dataclasses.dataclass
+class MeanField:
+    """Converged (or last-iterate) periodic UHF state."""
+
+    e_tot: float
+    converged: bool
+    eps: Tuple[List[np.ndarray], List[np.ndarray]]  # per spin, per k
+    c: Tuple[List[np.ndarray], List[np.ndarray]]
+    n_cycles: int
+
+
+def run_uhf(sc: Supercell, shells, kpts, beta: float = None,
+            eps_eri: float = 1e-8, max_cycle: int = 60,
+            conv_tol: float = 1e-8) -> MeanField:
+    """Self-consistent periodic UHF with Ewald-split J/K.
+
+    Fock: F^s = h + J[D_tot] - K[D^s] with the SR erfc ERIs
+    (eri.sr_eri_tensors) + reciprocal-space LR blocks (eri.LrBlocks) and
+    the exxdiv='ewald' Madelung correction on K. Energy is per primitive
+    cell; nuclear repulsion from the primitive-cell Ewald sum. Parity
+    target: the reference's PySCF KRHF bridge (hf.py:44-218).
+    """
+    from deepsolid_tpu.ops.ewald import EwaldSum
+    from deepsolid_tpu.scf import eri as eri_lib
+
+    prim = sc.prim
+    lattice = np.asarray(prim.lattice)
+    volume = abs(np.linalg.det(lattice))
+    if beta is None:
+        beta = 5.0 / volume ** (1.0 / 3.0)
+
+    s_k, t_k, v_k = core_matrices(prim, shells, kpts, beta=beta)
+    h_k = t_k + v_k
+    nk = kpts.shape[0]
+
+    sr = eri_lib.SrBlocks(shells, lattice, kpts, beta, s_k, eps_eri)
+    gpts = eri_lib.full_gpoints(lattice, beta)
+    lr = eri_lib.LrBlocks(shells, lattice, kpts, beta, volume, gpts)
+    xi = exx_madelung(sc.lattice)
+    e_nn = EwaldSum.build(prim).madelung
+
+    n_occ = tuple(sc.nelec)
+    eps0, c0 = _solve_bands(h_k, s_k)
+    occ = [_fill_aufbau(eps0, n) for n in n_occ]
+    dm = [_density(c0, o) for o in occ]
+    eps_s, c_s = [eps0, eps0], [c0, c0]
+
+    diis = _Diis()
+    e_old, converged, cyc = 0.0, False, 0
+    for cyc in range(1, max_cycle + 1):
+        dm_tot = dm[0] + dm[1]
+        j_mat = sr.coulomb(dm_tot) + lr.coulomb(dm_tot)
+        f_s, k_s = [], []
+        for s in range(2):
+            if n_occ[s] == 0:
+                k_mat = np.zeros_like(j_mat)
+            else:
+                k_mat = (
+                    sr.exchange(dm[s])
+                    + lr.exchange(dm[s])
+                    + xi * np.einsum("kab,kbc,kcd->kad", s_k, dm[s], s_k)
+                )
+            k_s.append(k_mat)
+            f_s.append(h_k + j_mat - k_mat)
+
+        e_elec = 0.0
+        for s in range(2):
+            e_elec += np.einsum("kab,kba->", h_k, dm[s]).real
+            e_elec += 0.5 * np.einsum("kab,kba->", j_mat, dm[s]).real
+            e_elec -= 0.5 * np.einsum("kab,kba->", k_s[s], dm[s]).real
+        e_tot = e_elec / nk + e_nn
+
+        # DIIS on the combined spin-Fock vector with FDS-SDF errors
+        errs, focks = [], []
+        for s in range(2):
+            fds = np.einsum("kab,kbc,kcd->kad", f_s[s], dm[s], s_k)
+            errs.append((fds - fds.conj().transpose(0, 2, 1)).ravel())
+            focks.append(f_s[s].ravel())
+        err_norm = max(float(np.abs(e).max()) for e in errs)
+        f_new = diis.update(np.concatenate(focks), np.concatenate(errs))
+        f_s = [
+            f_new[i * h_k.size:(i + 1) * h_k.size].reshape(h_k.shape)
+            for i in range(2)
+        ]
+
+        for s in range(2):
+            eps_s[s], c_s[s] = _solve_bands(f_s[s], s_k)
+            occ[s] = _fill_aufbau(eps_s[s], n_occ[s])
+            dm[s] = _density(c_s[s], occ[s])
+
+        if abs(e_tot - e_old) < conv_tol and err_norm < np.sqrt(conv_tol):
+            converged = True
+            break
+        e_old = e_tot
+
+    return MeanField(
+        e_tot=float(e_tot), converged=converged,
+        eps=(eps_s[0], eps_s[1]), c=(c_s[0], c_s[1]), n_cycles=cyc,
+    )
 
 
 def _solve_bands(h_k, s_k, lindep: float = 1e-8):
@@ -307,30 +498,33 @@ class ScfOrbitals:
 
     @classmethod
     def build(cls, sc: Supercell, basis: str = "sto-3g",
-              twist=(0.0, 0.0, 0.0)) -> "ScfOrbitals":
+              twist=(0.0, 0.0, 0.0), level: str = "core") -> "ScfOrbitals":
+        """level: 'core' (core-Hamiltonian bands, fast) or 'hf' (full
+        self-consistent UHF via run_uhf, parity with the reference's
+        PySCF KRHF bridge)."""
         prim = sc.prim
         shells = basis_lib.build_shells(prim, basis)
         kpts = twisted_kpts(sc, twist)
-        s_k, t_k, v_k = core_matrices(prim, shells, kpts)
-        eps_all, c_all = _solve_bands(t_k + v_k, s_k)
+        if level == "hf":
+            mf = run_uhf(sc, shells, kpts)
+            eps_spin = mf.eps
+            c_spin = mf.c
+        elif level == "core":
+            s_k, t_k, v_k = core_matrices(prim, shells, kpts)
+            eps_all, c_all = _solve_bands(t_k + v_k, s_k)
+            eps_spin = (eps_all, eps_all)
+            c_spin = (c_all, c_all)
+        else:
+            raise ValueError(f"unknown SCF level: {level!r}")
 
         # aufbau over (k, band) per spin channel
-        flat = [
-            (e, ki, bi)
-            for ki, es in enumerate(eps_all)
-            for bi, e in enumerate(es)
-        ]
-        flat.sort(key=lambda x: (round(x[0], 9), x[1], x[2]))
         c_occ = ([], [])
         klists = ([], [])
         for s, n_s in enumerate(sc.nelec):
-            occ = flat[:n_s]
-            per_k = {ki: [] for ki in range(kpts.shape[0])}
-            for e, ki, bi in occ:
-                per_k[ki].append(bi)
+            occ = _fill_aufbau(eps_spin[s], n_s)
             for ki in range(kpts.shape[0]):
-                bands = sorted(per_k[ki])
-                c_occ[s].append(c_all[ki][:, bands])
+                bands = occ[ki]
+                c_occ[s].append(c_spin[s][ki][:, bands])
                 klists[s].extend([kpts[ki]] * len(bands))
         klist = tuple(
             np.asarray(kl).reshape(-1, 3) if kl else np.zeros((0, 3))
@@ -342,7 +536,7 @@ class ScfOrbitals:
             c_occ=c_occ,
             klist=klist,
             spins=tuple(sc.nelec),
-            band_energies=eps_all,
+            band_energies=list(eps_spin[0]),
         )
 
     # ---- device-side evaluation (jittable) ----------------------------------

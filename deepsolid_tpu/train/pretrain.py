@@ -39,7 +39,8 @@ def make_orbital_source(cfg, sc):
             from deepsolid_tpu.scf import hf as hf_lib
 
             return hf_lib.ScfOrbitals.build(
-                sc, basis=cfg.system.basis, twist=tuple(cfg.network.twist)
+                sc, basis=cfg.system.basis, twist=tuple(cfg.network.twist),
+                level=cfg.pretrain.get("scf", "core"),
             )
         except Exception as e:  # noqa: BLE001 — fall back, but say why
             logging.warning(

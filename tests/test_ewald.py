@@ -120,3 +120,52 @@ def test_isolated_limit():
     # remove the leading background terms: for 2 unit charges,
     # madelung = 1/d + 2*xi_cube/L + O(1/L^3), xi_cube ~ -1.41865
     assert abs(ew.madelung - 1.0 / d) < 0.1
+
+
+def test_pair_madelung_exact():
+    """Generic (off-symmetry) pair vs a brute-force Ewald sum.
+
+    Regression: the build-time ion-ion real-space distances must be
+    computed host-side in float64 — routing them through the JAX
+    MinimalImage runs a bf16 matmul on TPU backends and biases the
+    nuclear-repulsion CONSTANT of every run by O(1e-3) Ha.
+    """
+    import itertools
+
+    from scipy.special import erfc
+
+    R, L, a = 1.4, 15.0, 0.7
+    coords = np.array([[0.0, 0.0, 0.0], [R, 0.0, 0.0]])
+    ts = np.array(
+        list(itertools.product(range(-6, 7), repeat=3)), np.float64
+    ) * L
+    exact = 0.0
+    for i in range(2):
+        for j in range(2):
+            r = np.linalg.norm(coords[i] - coords[j] + ts, axis=1)
+            if i == j:
+                r = r[r > 1e-9]
+                exact += 0.5 * np.sum(erfc(a * r) / r)
+            elif i < j:
+                exact += np.sum(erfc(a * r) / r)
+    gn = np.array(
+        [m for m in itertools.product(range(-12, 13), repeat=3)
+         if m != (0, 0, 0)],
+        np.float64,
+    )
+    g = gn * 2 * np.pi / L
+    g2 = np.sum(g * g, -1)
+    sf = np.abs(np.exp(1j * g @ coords.T) @ np.ones(2)) ** 2
+    exact += 0.5 * np.sum(4 * np.pi * np.exp(-g2 / (4 * a * a))
+                          / (L**3 * g2) * sf)
+    exact += -a / np.sqrt(np.pi) * 2 - np.pi / (2 * L**3 * a * a) * 4
+
+    cell = Cell(
+        lattice=np.eye(3) * L,
+        atom_coords=coords,
+        atom_charges=np.array([1.0, 1.0]),
+        atom_symbols=("H", "H"),
+        spin=0,
+    )
+    got = EwaldSum.build(cell).madelung
+    np.testing.assert_allclose(got, exact, atol=1e-7)

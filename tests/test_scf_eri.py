@@ -1,0 +1,166 @@
+"""Short-range erfc ERIs + self-consistent UHF validation.
+
+Strategy:
+  * SR + LR must reassemble the FULL periodic Coulomb: compare the
+    Ewald-split J/K (sr_eri_tensors + LrBlocks at a given beta) against
+    a bare-kernel reciprocal-space evaluation on a large G set (the LR
+    machinery itself is grid-validated in tests/test_scf_jk.py, so with
+    beta=None and enough G vectors it is an independent oracle for the
+    total).
+  * beta-independence: the split point is arbitrary; two betas must
+    give the same total J/K.
+  * molecular limit: periodic UHF for H2 in a large box must reproduce
+    the textbook molecular RHF/STO-3G energy (Szabo & Ostlund:
+    E = -1.1167 Ha at R = 1.4 a0) once the exxdiv Madelung correction
+    removes the leading finite-size error.
+"""
+
+import numpy as np
+import pytest
+
+
+from deepsolid_tpu.scf import eri
+from deepsolid_tpu.scf import hf as hf_lib
+from deepsolid_tpu.scf.basis import build_shells
+from deepsolid_tpu.scf.free_electron import twisted_kpts
+from deepsolid_tpu.system import Atom, Cell, make_supercell
+
+
+def setup_h2(L=12.0):
+    cell = Cell.from_atoms(
+        [Atom("H", (0.2, 0.1, 0.0)), Atom("H", (1.6, 0.0, 0.3))],
+        np.eye(3) * L,
+        spin=0,
+    )
+    sc = make_supercell(cell, np.eye(3))
+    shells = build_shells(sc.prim, "sto-3g")
+    return sc, shells
+
+
+def random_dm(nk, nao, seed):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(nk, nao, 2)) + 1j * rng.normal(size=(nk, nao, 2))
+    return np.einsum("kai,kbi->kab", x, x.conj())
+
+
+def split_jk(sc, shells, kpts, beta, dm_spin):
+    lattice = np.asarray(sc.prim.lattice)
+    volume = abs(np.linalg.det(lattice))
+    s_k, _, _ = hf_lib.core_matrices(sc.prim, shells, kpts, beta=beta)
+    sr = eri.SrBlocks(shells, lattice, kpts, beta, s_k, eps=1e-9)
+    lr = eri.LrBlocks(
+        shells, lattice, kpts, beta, volume, eri.full_gpoints(lattice, beta)
+    )
+    j = sr.coulomb(dm_spin) + lr.coulomb(dm_spin)
+    k = sr.exchange(dm_spin) + lr.exchange(dm_spin)
+    return j, k
+
+
+def bare_jk(sc, shells, kpts, dm_spin, gmax=16.0):
+    """Full periodic J/K from the bare reciprocal-space kernel (oracle)."""
+    lattice = np.asarray(sc.prim.lattice)
+    volume = abs(np.linalg.det(lattice))
+    recip = 2 * np.pi * np.linalg.inv(lattice).T
+    nmax = int(np.ceil(gmax / np.linalg.norm(recip, axis=1).min())) + 1
+    grid = np.arange(-nmax, nmax + 1)
+    pts = np.stack(np.meshgrid(grid, grid, grid, indexing="ij"), -1)
+    gpts = pts.reshape(-1, 3) @ recip
+    gpts = gpts[np.linalg.norm(gpts, axis=1) <= gmax]
+    lr = eri.LrBlocks(shells, lattice, kpts, None, volume, gpts)
+    return lr.coulomb(dm_spin), lr.exchange(dm_spin)
+
+
+@pytest.fixture(scope="module")
+def h2_gamma():
+    sc, shells = setup_h2()
+    kpts = twisted_kpts(sc)
+    dm = random_dm(kpts.shape[0], 2, seed=0)
+    return sc, shells, kpts, dm
+
+
+def test_jk_total_matches_bare_oracle(h2_gamma):
+    sc, shells, kpts, dm = h2_gamma
+    j, k = split_jk(sc, shells, kpts, beta=0.9, dm_spin=dm)
+    j_ref, k_ref = bare_jk(sc, shells, kpts, dm)
+    np.testing.assert_allclose(j, j_ref, atol=2e-6)
+    np.testing.assert_allclose(k, k_ref, atol=2e-6)
+
+
+def test_jk_beta_independence(h2_gamma):
+    sc, shells, kpts, dm = h2_gamma
+    j1, k1 = split_jk(sc, shells, kpts, beta=0.7, dm_spin=dm)
+    j2, k2 = split_jk(sc, shells, kpts, beta=1.2, dm_spin=dm)
+    np.testing.assert_allclose(j1, j2, atol=1e-7)
+    np.testing.assert_allclose(k1, k2, atol=1e-7)
+
+
+def test_jk_hermitian(h2_gamma):
+    sc, shells, kpts, dm = h2_gamma
+    j, k = split_jk(sc, shells, kpts, beta=0.9, dm_spin=dm)
+    np.testing.assert_allclose(j, j.conj().transpose(0, 2, 1), atol=1e-9)
+    np.testing.assert_allclose(k, k.conj().transpose(0, 2, 1), atol=1e-9)
+
+
+def test_exchange_multi_k_beta_independence():
+    """Mixed-k exchange (B-translation phases) must also be split-invariant."""
+    sc, shells = setup_h2(L=10.0)
+    kpts = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, np.pi / 10.0]])
+    dm = random_dm(2, 2, seed=3)
+    j1, k1 = split_jk(sc, shells, kpts, beta=0.7, dm_spin=dm)
+    j2, k2 = split_jk(sc, shells, kpts, beta=1.1, dm_spin=dm)
+    np.testing.assert_allclose(j1, j2, atol=1e-7)
+    np.testing.assert_allclose(k1, k2, atol=1e-7)
+
+
+def test_h2_uhf_molecular_limit():
+    """Periodic UHF -> molecular RHF/STO-3G as the box grows.
+
+    The exact molecular value from these same integrals is
+    E = -1.1167148 Ha (H2, R = 1.4 a0, STO-3G; Szabo & Ostlund quote
+    -1.1167). With the exxdiv Madelung correction the finite-size error
+    follows a clean L^-3 law (measured: -5.85, -2.97, -1.72, -0.94 mHa
+    at L = 12, 15, 18, 22 — successive ratios match (L2/L1)^3)."""
+    e_mol = -1.1167148
+    cell = Cell.from_atoms(
+        [Atom("H", (0.0, 0.0, 0.0)), Atom("H", (1.4, 0.0, 0.0))],
+        np.eye(3) * 12.0,
+        spin=0,
+    )
+    sc = make_supercell(cell, np.eye(3))
+    shells = build_shells(sc.prim, "sto-3g")
+    kpts = twisted_kpts(sc)
+    mf = hf_lib.run_uhf(sc, shells, kpts)
+    assert mf.converged, f"UHF failed to converge in {mf.n_cycles} cycles"
+    err = mf.e_tot - e_mol
+    # below molecular (image attraction) by the known L^-3 amount
+    assert -8e-3 < err < 0.0, mf.e_tot
+
+
+def test_h_atom_uhf_molecular_limit():
+    """One-electron UHF: J cancels bare K exactly; exxdiv + Ewald-split
+    constants must reassemble the isolated H/STO-3G energy (-0.4665817
+    from these integrals) with only an O(1/L^3) residual."""
+    cell = Cell.from_atoms(
+        [Atom("H", (0.0, 0.0, 0.0))], np.eye(3) * 14.0, spin=1
+    )
+    sc = make_supercell(cell, np.eye(3))
+    shells = build_shells(sc.prim, "sto-3g")
+    kpts = twisted_kpts(sc)
+    mf = hf_lib.run_uhf(sc, shells, kpts)
+    assert mf.converged
+    assert abs(mf.e_tot - (-0.4665817)) < 2e-3, mf.e_tot
+
+
+def test_scforbitals_hf_level():
+    """ScfOrbitals(level='hf') produces a usable orbital source."""
+    cell = Cell.from_atoms(
+        [Atom("H", (0.0, 0.0, 0.0)), Atom("H", (1.4, 0.0, 0.0))],
+        np.eye(3) * 12.0,
+        spin=0,
+    )
+    sc = make_supercell(cell, np.eye(3))
+    orbs = hf_lib.ScfOrbitals.build(sc, basis="sto-3g", level="hf")
+    assert orbs.klist[0].shape == (1, 3)
+    x = np.random.default_rng(0).normal(size=(3, 6)) * 2.0
+    mats = orbs.orbital_mats(x)
+    assert mats[0].shape == (3, 1, 1)
