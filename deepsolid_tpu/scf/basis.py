@@ -45,7 +45,11 @@ _STO3G_ZETA = {
 
 @dataclasses.dataclass(frozen=True)
 class Shell:
-    """One contracted shell: l = 0 (s) or 1 (p); primitives normalized."""
+    """One contracted CARTESIAN shell; primitives normalized to the
+    axis-aligned component (x^l): off-axis cartesians (xy, ...) then
+    carry their natural relative weights — absorbed by the overlap
+    metric in the generalized eigenproblem, so only conditioning (not
+    correctness) depends on this choice."""
 
     l: int
     exponents: np.ndarray
@@ -55,16 +59,16 @@ class Shell:
 
     @property
     def nfunc(self) -> int:
-        return 2 * self.l + 1  # s: 1, p: 3 (cartesian == spherical for l<=1)
+        return (self.l + 1) * (self.l + 2) // 2  # cartesian: s 1, p 3, d 6
 
 
 def primitive_norm(alpha: np.ndarray, l: int) -> np.ndarray:
-    """Normalization of a cartesian Gaussian x^l exp(-a r^2) (l = 0 or 1)."""
-    if l == 0:
-        return (2.0 * alpha / np.pi) ** 0.75
-    if l == 1:
-        return (2.0 * alpha / np.pi) ** 0.75 * 2.0 * np.sqrt(alpha)
-    raise NotImplementedError("only s and p shells are supported")
+    """Unit-overlap norm of the axis-aligned cartesian Gaussian
+    x^l exp(-a r^2), any l: (2a/pi)^{3/4} (4a)^{l/2} / sqrt((2l-1)!!)."""
+    dfact = 1.0
+    for m in range(2 * l - 1, 0, -2):
+        dfact *= m
+    return (2.0 * alpha / np.pi) ** 0.75 * (4.0 * alpha) ** (l / 2.0) / np.sqrt(dfact)
 
 
 def sto3g_shells_for_atom(z: int) -> List[Tuple[int, np.ndarray, np.ndarray]]:

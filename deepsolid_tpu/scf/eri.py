@@ -210,8 +210,12 @@ def _pair_entries(shells, lattice, eps):
             ca = si.coefficients * basis_lib.primitive_norm(si.exponents, si.l)
             cb = sj.coefficients * basis_lib.primitive_norm(sj.exponents, sj.l)
             coef = ca[None, :, None] * cb[None, None, :]
+            # magnitude screen weight; the 4^l factor covers the
+            # polynomial prefactors of higher-l cartesians that the pure
+            # Gaussian estimate misses
             w = (
                 np.abs(coef)
+                * 4.0 ** (si.l + sj.l)
                 * (np.pi / p) ** 1.5
                 * np.exp(-mu * np.sum(ab * ab, -1)[:, None, None])
             )

@@ -99,9 +99,25 @@ class PeriodicAOEvaluator:
                 # (nk, n): sum_T radial * e^{ik.T}
                 ao = jnp.einsum("nt,kt->kn", radial.astype(phase_t.dtype), phase_t)
                 cols.append(ao[..., None])
-            else:
+            elif shell.l == 1:
                 aop = jnp.einsum(
                     "ntc,kt->knc", (d * radial[..., None]).astype(phase_t.dtype),
+                    phase_t,
+                )
+                cols.append(aop)
+            else:
+                from deepsolid_tpu.scf.integrals import CART
+
+                polys = jnp.stack(
+                    [
+                        d[..., 0] ** lx * d[..., 1] ** ly * d[..., 2] ** lz
+                        for (lx, ly, lz) in CART[shell.l]
+                    ],
+                    axis=-1,
+                )  # (n, nT, ncart)
+                aop = jnp.einsum(
+                    "ntc,kt->knc",
+                    (polys * radial[..., None]).astype(phase_t.dtype),
                     phase_t,
                 )
                 cols.append(aop)

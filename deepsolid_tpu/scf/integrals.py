@@ -209,5 +209,9 @@ def pair_density_ft(la3, lb3, alpha, beta, a_pos, b_pos, g):
     return out
 
 
-# cartesian components per l (s: 1, p: 3)
-CART = {0: [(0, 0, 0)], 1: [(1, 0, 0), (0, 1, 0), (0, 0, 1)]}
+# cartesian components per l (s: 1, p: 3, d: 6 — pyscf cart order)
+CART = {
+    0: [(0, 0, 0)],
+    1: [(1, 0, 0), (0, 1, 0), (0, 0, 1)],
+    2: [(2, 0, 0), (1, 1, 0), (1, 0, 1), (0, 2, 0), (0, 1, 1), (0, 0, 2)],
+}
