@@ -1,0 +1,305 @@
+// Short-range erfc(beta r12) ERI quartet engine.
+//
+// Native counterpart of deepsolid_tpu/scf/eri.sr_eri_tensors's inner
+// loops — the role PySCF's libcint (C) plays for the reference's HF
+// bridge (reference hf.py:44-218). One call processes one ordered
+// (bra shell-pair block, ket shell-pair block) pair: it screens the
+// (bra entry, ket entry, translation B) triples hierarchically, runs
+// the McMurchie-Davidson R recursion for the fused erfc = bare - erf
+// kernel, contracts with the precomputed Hermite E coefficients, and
+// phase-accumulates both the Hartree (J) and exchange (K) patterns
+// into per-(k, k') output blocks.
+//
+// Compiled on first use via g++ (see native/__init__.py); results are
+// bit-compared against the pure-numpy path in tests/test_native_eri.py.
+
+#include <cmath>
+#include <complex>
+#include <cstdint>
+#include <vector>
+
+namespace {
+
+constexpr int MAX_L = 2;
+constexpr int MAX_T = 4 * MAX_L;  // tmax for (dd|dd)
+
+// cartesian components per l, pyscf cart order (matches ints.CART)
+const int CART_N[3] = {1, 3, 6};
+const int CART_X[3][6] = {{0}, {1, 0, 0}, {2, 1, 1, 0, 0, 0}};
+const int CART_Y[3][6] = {{0}, {0, 1, 0}, {0, 1, 0, 2, 1, 0}};
+const int CART_Z[3][6] = {{0}, {0, 0, 1}, {0, 0, 1, 0, 1, 2}};
+
+// Boys function F_n(t) for n = 0..nmax (nmax <= MAX_T).
+void boys(int nmax, double t, double* f) {
+    if (t < 1e-14) {
+        for (int n = 0; n <= nmax; ++n) f[n] = 1.0 / (2 * n + 1);
+        return;
+    }
+    if (t > 35.0) {
+        // upward from F0 ~ sqrt(pi/4t): erf(sqrt(t)) == 1 to machine eps
+        f[0] = 0.5 * std::sqrt(M_PI / t);
+        double expt = (t > 700.0) ? 0.0 : std::exp(-t);
+        for (int n = 0; n < nmax; ++n)
+            f[n + 1] = ((2 * n + 1) * f[n] - expt) / (2.0 * t);
+        return;
+    }
+    // series for F_nmax, then stable downward recursion
+    double expt = std::exp(-t);
+    double term = 1.0 / (2 * nmax + 1);
+    double sum = term;
+    for (int i = 1; i < 200; ++i) {
+        term *= 2.0 * t / (2 * nmax + 2 * i + 1);
+        sum += term;
+        if (term < 1e-17 * sum) break;
+    }
+    f[nmax] = expt * sum;
+    for (int n = nmax; n > 0; --n)
+        f[n - 1] = (2.0 * t * f[n] + expt) / (2 * n - 1);
+}
+
+// Hermite Coulomb R_{tuv} for t+u+v <= tmax from kernel-scaled fns[n].
+// r[idx(t,u,v)] with idx = (t*(TM+1) + u)*(TM+1) + v, TM = tmax.
+void hermite_r(int tmax, const double* pc, const double* fns, double* out) {
+    const int tm1 = tmax + 1;
+    const int stride = tm1 * tm1;
+    // work[n][idx]: build from n = tmax down to 0
+    static thread_local std::vector<double> work;
+    work.assign((size_t)tm1 * tm1 * tm1 * tm1, 0.0);
+    auto w = [&](int n, int t, int u, int v) -> double& {
+        return work[((size_t)n * tm1 * tm1 * tm1) + (size_t)t * stride +
+                    (size_t)u * tm1 + v];
+    };
+    for (int n = tmax; n >= 0; --n) {
+        for (int s = 0; s <= tmax - n; ++s) {
+            for (int t = s; t >= 0; --t) {
+                for (int u = s - t; u >= 0; --u) {
+                    int v = s - t - u;
+                    double val;
+                    if (s == 0) {
+                        val = fns[n];
+                    } else if (t > 0) {
+                        val = pc[0] * w(n + 1, t - 1, u, v);
+                        if (t > 1) val += (t - 1) * w(n + 1, t - 2, u, v);
+                    } else if (u > 0) {
+                        val = pc[1] * w(n + 1, t, u - 1, v);
+                        if (u > 1) val += (u - 1) * w(n + 1, t, u - 2, v);
+                    } else {
+                        val = pc[2] * w(n + 1, t, u, v - 1);
+                        if (v > 1) val += (v - 1) * w(n + 1, t, u, v - 2);
+                    }
+                    if (n + s <= tmax) w(n, t, u, v) = val;
+                }
+            }
+        }
+    }
+    for (int t = 0; t <= tmax; ++t)
+        for (int u = 0; u <= tmax - t; ++u)
+            for (int v = 0; v <= tmax - t - u; ++v)
+                out[(size_t)t * stride + (size_t)u * tm1 + v] = w(0, t, u, v);
+}
+
+}  // namespace
+
+extern "C" int sr_eri_block(
+    // bra block: nb entries, angular momenta (la, lb)
+    int64_t nb, int la, int lb, const double* p_b, const double* coef_b,
+    const double* w_b, const double* P_b, const double* A_b,
+    const double* E_b,
+    // ket block
+    int64_t nk_e, int lc, int ld, const double* p_k, const double* coef_k,
+    const double* w_k, const double* P_k, const double* D_k,
+    const double* E_k,
+    // translations, k-points
+    int64_t nB, const double* Bs, int64_t nkpt, const double* kpts,
+    double beta, double eps,
+    // outputs, complex interleaved:
+    // wj[k,K,a,b,c,d] and wk[k,K,a,l,s,n] of shape
+    // (nkpt, nkpt, nfa, nfb, nfc, nfd)
+    double* wj_out, double* wk_out) {
+    if (la > MAX_L || lb > MAX_L || lc > MAX_L || ld > MAX_L) return 1;
+    using cd = std::complex<double>;
+    const int nfa = CART_N[la], nfb = CART_N[lb];
+    const int nfc = CART_N[lc], nfd = CART_N[ld];
+    const int tmax = la + lb + lc + ld;
+    const int tm1 = tmax + 1;
+    const int rstride = tm1 * tm1;
+    const int eb_i = (lb + 1) * (la + lb + 1);  // stride over i for bra E
+    const int eb_j = (la + lb + 1);
+    const int eb_dim = (la + 1) * eb_i;  // per-dim block
+    const int ek_i = (ld + 1) * (lc + ld + 1);
+    const int ek_j = (lc + ld + 1);
+    const int ek_dim = (lc + 1) * ek_i;
+    const double inv_beta2 = 1.0 / (beta * beta);
+
+    cd* wj = reinterpret_cast<cd*>(wj_out);
+    cd* wk = reinterpret_cast<cd*>(wk_out);
+
+    // phase tables
+    std::vector<cd> phA((size_t)nkpt * nb), phD((size_t)nkpt * nk_e),
+        phB((size_t)nkpt * nB);
+    for (int64_t k = 0; k < nkpt; ++k) {
+        const double* kv = kpts + 3 * k;
+        for (int64_t i = 0; i < nb; ++i) {
+            double d = kv[0] * A_b[3 * i] + kv[1] * A_b[3 * i + 1] +
+                       kv[2] * A_b[3 * i + 2];
+            phA[k * nb + i] = cd(std::cos(d), std::sin(d));
+        }
+        for (int64_t i = 0; i < nk_e; ++i) {
+            double d = kv[0] * D_k[3 * i] + kv[1] * D_k[3 * i + 1] +
+                       kv[2] * D_k[3 * i + 2];
+            phD[k * nk_e + i] = cd(std::cos(d), std::sin(d));
+        }
+        for (int64_t i = 0; i < nB; ++i) {
+            double d = kv[0] * Bs[3 * i] + kv[1] * Bs[3 * i + 1] +
+                       kv[2] * Bs[3 * i + 2];
+            phB[k * nB + i] = cd(std::cos(d), std::sin(d));
+        }
+    }
+
+    const int nq = nfa * nfb * nfc * nfd;
+    std::vector<double> vals(nq);
+    std::vector<double> fns(tm1), rtab((size_t)tm1 * tm1 * tm1);
+    double fb[MAX_T + 1];
+
+    const int64_t out_kk = (int64_t)nq;  // per (k,K) block length
+
+    for (int64_t ib = 0; ib < nb; ++ib) {
+        const double pb = p_b[ib];
+        const double wb = w_b[ib];
+        const double* Pb = P_b + 3 * ib;
+        const double* Eb = E_b + (size_t)ib * 3 * eb_dim;
+        for (int64_t ik = 0; ik < nk_e; ++ik) {
+            const double wprod = wb * w_k[ik];
+            if (wprod <= eps) continue;  // exp factor <= 1
+            const double qk = p_k[ik];
+            const double alpha = pb * qk / (pb + qk);
+            const double th2 = 1.0 / (1.0 / alpha + inv_beta2);
+            const double logcut = std::log(wprod / eps);  // keep th2*R2 < logcut
+            const double pref0 =
+                2.0 * std::pow(M_PI, 2.5) / (pb * qk * std::sqrt(pb + qk)) *
+                coef_b[ib] * coef_k[ik];
+            const double sq = std::sqrt(th2 / alpha);
+            const double* Qk = P_k + 3 * ik;
+            const double* Ek = E_k + (size_t)ik * 3 * ek_dim;
+
+            for (int64_t ibv = 0; ibv < nB; ++ibv) {
+                const double* B = Bs + 3 * ibv;
+                double pc[3] = {Pb[0] - Qk[0] - B[0], Pb[1] - Qk[1] - B[1],
+                                Pb[2] - Qk[2] - B[2]};
+                const double r2 =
+                    pc[0] * pc[0] + pc[1] * pc[1] + pc[2] * pc[2];
+                if (th2 * r2 >= logcut) continue;
+
+                // fused erfc kernel: (-2a)^n F_n(a r2) - sq (-2 th2)^n F_n(th2 r2)
+                boys(tmax, alpha * r2, fb);
+                double ca = 1.0;
+                for (int n = 0; n <= tmax; ++n) {
+                    fns[n] = ca * fb[n];
+                    ca *= -2.0 * alpha;
+                }
+                boys(tmax, th2 * r2, fb);
+                double ct = sq;
+                for (int n = 0; n <= tmax; ++n) {
+                    fns[n] -= ct * fb[n];
+                    ct *= -2.0 * th2;
+                }
+                hermite_r(tmax, pc, fns.data(), rtab.data());
+
+                // cartesian contraction
+                int q = 0;
+                for (int ia = 0; ia < nfa; ++ia) {
+                    const int ax = CART_X[la][ia], ay = CART_Y[la][ia],
+                              az = CART_Z[la][ia];
+                    for (int jb = 0; jb < nfb; ++jb) {
+                        const int bx = CART_X[lb][jb], by = CART_Y[lb][jb],
+                                  bz = CART_Z[lb][jb];
+                        const double* ebx = Eb + 0 * eb_dim + ax * eb_i + bx * eb_j;
+                        const double* eby = Eb + 1 * eb_dim + ay * eb_i + by * eb_j;
+                        const double* ebz = Eb + 2 * eb_dim + az * eb_i + bz * eb_j;
+                        for (int ic = 0; ic < nfc; ++ic) {
+                            const int cx = CART_X[lc][ic], cy = CART_Y[lc][ic],
+                                      cz = CART_Z[lc][ic];
+                            for (int jd = 0; jd < nfd; ++jd) {
+                                const int dx = CART_X[ld][jd],
+                                          dy = CART_Y[ld][jd],
+                                          dz = CART_Z[ld][jd];
+                                const double* ekx =
+                                    Ek + 0 * ek_dim + cx * ek_i + dx * ek_j;
+                                const double* eky =
+                                    Ek + 1 * ek_dim + cy * ek_i + dy * ek_j;
+                                const double* ekz =
+                                    Ek + 2 * ek_dim + cz * ek_i + dz * ek_j;
+                                double acc = 0.0;
+                                for (int t = 0; t <= ax + bx; ++t) {
+                                    const double et = ebx[t];
+                                    if (et == 0.0) continue;
+                                    for (int u = 0; u <= ay + by; ++u) {
+                                        const double eu = eby[u];
+                                        if (eu == 0.0) continue;
+                                        const double etu = et * eu;
+                                        for (int v = 0; v <= az + bz; ++v) {
+                                            const double ev = ebz[v];
+                                            if (ev == 0.0) continue;
+                                            const double e_b3 = etu * ev;
+                                            for (int tt = 0; tt <= cx + dx;
+                                                 ++tt) {
+                                                const double kt = ekx[tt];
+                                                if (kt == 0.0) continue;
+                                                for (int uu = 0;
+                                                     uu <= cy + dy; ++uu) {
+                                                    const double ku = eky[uu];
+                                                    if (ku == 0.0) continue;
+                                                    const double ktu = kt * ku;
+                                                    for (int vv = 0;
+                                                         vv <= cz + dz; ++vv) {
+                                                        const double kv2 =
+                                                            ekz[vv];
+                                                        if (kv2 == 0.0)
+                                                            continue;
+                                                        const double sgn =
+                                                            ((tt + uu + vv) & 1)
+                                                                ? -1.0
+                                                                : 1.0;
+                                                        acc += sgn * e_b3 *
+                                                               ktu * kv2 *
+                                                               rtab[(size_t)(t + tt) *
+                                                                        rstride +
+                                                                    (size_t)(u + uu) *
+                                                                        tm1 +
+                                                                    (v + vv)];
+                                                    }
+                                                }
+                                            }
+                                        }
+                                    }
+                                }
+                                vals[q++] = pref0 * acc;
+                            }
+                        }
+                    }
+                }
+
+                // phase accumulation:
+                // J: e^{ik.A} e^{-ik'.D};  K: e^{ik.(B+D)} e^{ik'.(A-B)}
+                for (int64_t k = 0; k < nkpt; ++k) {
+                    const cd fJ = phA[k * nb + ib];
+                    const cd fK = phB[k * nB + ibv] * phD[k * nk_e + ik];
+                    for (int64_t K = 0; K < nkpt; ++K) {
+                        const cd gJ = std::conj(phD[K * nk_e + ik]);
+                        const cd gK = phA[K * nb + ib] *
+                                      std::conj(phB[K * nB + ibv]);
+                        const cd pj = fJ * gJ;
+                        const cd pk2 = fK * gK;
+                        cd* oj = wj + (k * nkpt + K) * out_kk;
+                        cd* ok = wk + (k * nkpt + K) * out_kk;
+                        for (int iq = 0; iq < nq; ++iq) {
+                            oj[iq] += pj * vals[iq];
+                            ok[iq] += pk2 * vals[iq];
+                        }
+                    }
+                }
+            }
+        }
+    }
+    return 0;
+}

@@ -322,8 +322,23 @@ def _accumulate_quartet(wj, wk, bra, ket, ib, ik, bv, beta, kpts):
                     )
 
 
+def _dense_e(pair):
+    """Dense Hermite-E array (nE, 3*(la+1)*(lb+1)*(la+lb+1)) for the
+    native engine; cached on the pair dict."""
+    if "e_dense" in pair:
+        return pair["e_dense"]
+    la, lb = pair["la"], pair["lb"]
+    n_e = pair["p"].shape[0]
+    dense = np.zeros((n_e, 3, la + 1, lb + 1, la + lb + 1))
+    for d in range(3):
+        for (i, j, t), arr in pair["es"][d].items():
+            dense[:, d, i, j, t] = arr
+    pair["e_dense"] = np.ascontiguousarray(dense.reshape(n_e, -1))
+    return pair["e_dense"]
+
+
 def sr_eri_tensors(shells, lattice, kpts, beta, eps=1e-8,
-                   mask_chunk=int(4e6)):
+                   mask_chunk=int(4e6), engine="auto"):
     """Short-range erfc(beta r12) Bloch ERI tensors (WJ, WK).
 
     WJ[k,k'][m n l s] phase-sums I[A,B,D] with e^{ik.A} e^{-ik'.D}
@@ -332,15 +347,32 @@ def sr_eri_tensors(shells, lattice, kpts, beta, eps=1e-8,
     (m_k l_k' | s_k' n_k)). Consumers:
       J_k = (1/nk) einsum('kKmnls,Kls->kmn', WJ, D_tot)
       K_k = (1/nk) einsum('kKmlsn,Kls->kmn', WK, D_spin)
+
+    engine: 'auto' uses the native C++ quartet engine when it compiles
+    (deepsolid_tpu/native, the libcint analog), 'numpy'/'native' force
+    a path. Both produce identical tensors (tests/test_native_eri.py).
     """
+    import ctypes
+
     lattice = np.asarray(lattice)
-    kpts = np.asarray(kpts).reshape(-1, 3)
+    kpts = np.ascontiguousarray(np.asarray(kpts, np.float64).reshape(-1, 3))
     nk = kpts.shape[0]
     pairs, nao = _pair_entries(shells, lattice, eps)
     wj = np.zeros((nk, nk, nao, nao, nao, nao), np.complex128)
     wk = np.zeros_like(wj)
     logeps = -np.log(eps)
     inv_lat = np.linalg.inv(lattice)
+
+    lib = None
+    if engine in ("auto", "native"):
+        from deepsolid_tpu import native
+
+        lib = native.load()
+        if engine == "native" and lib is None:
+            raise RuntimeError("native sr_eri engine unavailable")
+
+    def dptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
     for bra in pairs:
         c_b = bra["P"].mean(0)
@@ -360,8 +392,39 @@ def sr_eri_tensors(shells, lattice, kpts, beta, eps=1e-8,
                 np.linalg.norm(c_b - c_k - bs, axis=1)
                 <= radius + 1e-9
             )
-            bs = bs[keep_b]
+            bs = np.ascontiguousarray(bs[keep_b])
             if bs.shape[0] == 0:
+                continue
+
+            nfa = len(ints.CART[bra["la"]])
+            nfb = len(ints.CART[bra["lb"]])
+            nfc = len(ints.CART[ket["la"]])
+            nfd = len(ints.CART[ket["lb"]])
+            oi, oj = bra["oi"], bra["oj"]
+            ol, os_ = ket["oi"], ket["oj"]
+
+            if lib is not None:
+                wj_blk = np.zeros((nk, nk, nfa, nfb, nfc, nfd),
+                                  np.complex128)
+                wk_blk = np.zeros_like(wj_blk)
+                ret = lib.sr_eri_block(
+                    bra["p"].shape[0], bra["la"], bra["lb"],
+                    dptr(bra["p"]), dptr(bra["coef"]), dptr(bra["w"]),
+                    dptr(bra["P"]), dptr(bra["A"]), dptr(_dense_e(bra)),
+                    ket["p"].shape[0], ket["la"], ket["lb"],
+                    dptr(ket["p"]), dptr(ket["coef"]), dptr(ket["w"]),
+                    dptr(ket["P"]), dptr(ket["A"]), dptr(_dense_e(ket)),
+                    bs.shape[0], dptr(bs), nk, dptr(kpts),
+                    float(beta), float(eps),
+                    dptr(wj_blk.view(np.float64)),
+                    dptr(wk_blk.view(np.float64)),
+                )
+                if ret != 0:
+                    raise RuntimeError(f"native sr_eri_block failed: {ret}")
+                wj[:, :, oi:oi + nfa, oj:oj + nfb,
+                   ol:ol + nfc, os_:os_ + nfd] += wj_blk
+                wk[:, :, oi:oi + nfa, oj:oj + nfb,
+                   ol:ol + nfc, os_:os_ + nfd] += wk_blk
                 continue
 
             # pairwise screen weight and range
