@@ -24,7 +24,6 @@ def default() -> ml_collections.ConfigDict:
             "optim": {
                 "iterations": 1000000,
                 "optimizer": "kfac",  # 'kfac' | 'adam' | 'none'
-                "local_energy_outlier_width": 5.0,
                 "lr": {
                     "rate": 5.0e-2,
                     "decay": 1.0,
@@ -32,7 +31,7 @@ def default() -> ml_collections.ConfigDict:
                 },
                 "clip_el": 5.0,
                 "clip_type": "real",  # 'real' | 'complex'
-                "gradient_clip": 5.0,
+                "gradient_clip": 5.0,  # global-norm clip on adam grads; <=0 off
                 "adam": {
                     "b1": 0.9,
                     "b2": 0.999,
@@ -47,7 +46,6 @@ def default() -> ml_collections.ConfigDict:
                     "momentum": 0.0,
                     "min_damping": 1.0e-4,
                     "norm_constraint": 0.001,
-                    "mean_center": True,
                     "l2_reg": 0.0,
                 },
                 "ministeps": 1,

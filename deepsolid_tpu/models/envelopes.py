@@ -11,8 +11,13 @@ import jax.numpy as jnp
 
 
 def isotropic_envelope(r_ae: jnp.ndarray, params) -> jnp.ndarray:
-    """sum_a pi_a exp(-|r_ae sigma_a|), r_ae: (n, natom, 1) -> (n, nparam)."""
-    return jnp.sum(jnp.exp(-jnp.abs(r_ae * params["sigma"])) * params["pi"], axis=1)
+    """Atom-centred exponential decays, one rate per (atom, orbital).
+
+    out[n, p] = sum_a pi[a, p] * exp(-|sigma[a, p]| * r[n, a]);
+    r_ae: (n, natom, 1) -> (n, nparam).
+    """
+    decay = jnp.exp(-jnp.abs(params["sigma"] * r_ae))
+    return jnp.einsum("nap,ap->np", decay, params["pi"])
 
 
 def diagonal_envelope(ae: jnp.ndarray, params) -> jnp.ndarray:

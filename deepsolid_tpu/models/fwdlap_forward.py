@@ -209,13 +209,13 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig,
         orb = fl.mul(orb, env_jet, axis_name=deriv_axis)
 
         norb = sum(spins) if cfg.full_det else spin
+        # (spin, ndet*norb) -> (ndet, spin, norb); linear_op maps the same
+        # reshape+transpose over value, tangents, and laplacian rows
         orb = fl.linear_op(
             lambda v: v.reshape(v.shape[:-2] + (spin, cfg.determinants, norb))
             .swapaxes(-3, -2),
             orb,
         )
-        # Wait: reshape acts on (spin, nparam) -> (spin, ndet, norb) then
-        # transpose to (ndet, spin, norb); linear_op vmaps over tangents.
 
         # Bloch phases: analytic per-electron jets
         kcol = k_cols if cfg.full_det else klist[ch]  # (norb, 3)
@@ -271,13 +271,17 @@ def make_kinetic_forward(network, deriv_axis=None) -> Callable:
     return kinetic
 
 
-def make_logpsi_and_kinetic(network) -> Callable:
-    """(params, x) -> (log psi complex, kinetic complex) in one pass."""
+def make_logpsi_and_kinetic(network, deriv_axis=None) -> Callable:
+    """(params, x) -> (log psi complex, kinetic complex) in one pass.
+
+    With `deriv_axis`, the 3N tangent columns shard over that mesh axis
+    (same contract as make_kinetic_forward).
+    """
     spec, cfg = network.spec, network.cfg
 
     def both(params, x):
-        jet = network_jets(params, x, spec, cfg)
-        return jet.val, -0.5 * (jet.lap + jnp.sum(jet.jac**2))
-
+        jet = network_jets(params, x, spec, cfg, deriv_axis=deriv_axis)
+        grad2 = fl._tsum(jet.jac[:, None] ** 2, deriv_axis)[0]
+        return jet.val, -0.5 * (jet.lap + grad2)
 
     return both

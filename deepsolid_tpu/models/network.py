@@ -127,15 +127,23 @@ def construct_symmetric_features(
 ) -> jnp.ndarray:
     """Permutation-equivariant mixing of one- and two-electron streams.
 
+    Row i of the output is the concatenation of
+      [ h_one[i],
+        per-spin-channel means of h_one        (broadcast to every i),
+        per-spin-channel means over j of h_two[j, i] ],
+    so same-spin permutations act trivially on everything except h_one[i]
+    itself. Empty spin channels contribute nothing.
     Reference semantics: network.py:305-332.
     """
-    splits = [spins[0]]
-    h_ones = jnp.split(h_one, splits, axis=0)
-    h_twos = jnp.split(h_two, splits, axis=0)
-    g_one = [jnp.mean(h, axis=0, keepdims=True) for h in h_ones if h.size > 0]
-    g_two = [jnp.mean(h, axis=0) for h in h_twos if h.size > 0]
-    g_one = [jnp.tile(g, [h_one.shape[0], 1]) for g in g_one]
-    return jnp.concatenate([h_one] + g_one + g_two, axis=1)
+    nelec = h_one.shape[0]
+    channels = [(0, spins[0]), (spins[0], spins[0] + spins[1])]
+    channels = [(lo, hi) for lo, hi in channels if hi > lo]
+    chan_one = [
+        jnp.broadcast_to(jnp.mean(h_one[lo:hi], axis=0), (nelec, h_one.shape[1]))
+        for lo, hi in channels
+    ]
+    chan_two = [jnp.mean(h_two[lo:hi], axis=0) for lo, hi in channels]
+    return jnp.concatenate([h_one, *chan_one, *chan_two], axis=1)
 
 
 def eval_phases(

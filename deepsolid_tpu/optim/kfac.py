@@ -91,6 +91,7 @@ class KfacOptimizer:
     norm_constraint: float = 1e-3
     cov_ema_decay: float = 0.95
     invert_every: int = 1
+    cov_update_every: int = 1
     min_damping: float = 1e-4
     momentum: float = 0.0
     l2_reg: float = 0.0
@@ -377,7 +378,15 @@ class KfacOptimizer:
             data, pmove = mcmc_step(params, data, k1, width)
             (loss, aux), grads = val_and_grad(params, data)
             grads = all_mean(grads)
-            state = self.update_curvature(state, params, data)
+            if self.cov_update_every <= 1:
+                state = self.update_curvature(state, params, data)
+            else:
+                state = jax.lax.cond(
+                    state["step"] % self.cov_update_every == 0,
+                    lambda s: self.update_curvature(s, params, data),
+                    lambda s: s,
+                    state,
+                )
             params, state = self.step_fn(params, state, grads, damping)
             stats = (
                 loss,

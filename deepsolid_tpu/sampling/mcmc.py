@@ -23,17 +23,28 @@ from deepsolid_tpu.parallel import DATA_AXIS, pmean_if_axis
 
 
 def _log_prob_gaussian(x, mu, sigma):
-    """Diagonal-Gaussian log density, shapes as in qmc.py:26-41."""
-    numer = jnp.sum(-0.5 * ((x - mu) ** 2) / (sigma**2), axis=[1, 2, 3])
-    denom = x.shape[-1] * jnp.sum(jnp.log(sigma), axis=[1, 2, 3])
-    return numer - denom
+    """Per-walker log density of an isotropic per-electron Gaussian.
+
+    x, mu: (batch, nelec, 1, ndim); sigma broadcasts as (batch, nelec, 1, 1)
+    — one width per electron, covering all ndim coordinates. Returns
+    (batch,), dropping the x-independent (2 pi)^{-k/2} constant (it cancels
+    in Metropolis ratios). Proposal density of qmc.py:26-41.
+    """
+    z2 = jnp.square((x - mu) / sigma)
+    quad = jnp.sum(z2, axis=(1, 2, 3))
+    log_det = x.shape[-1] * jnp.sum(jnp.log(sigma), axis=(1, 2, 3))
+    return -0.5 * quad - log_det
 
 
 def _harmonic_mean(x, atoms):
-    """Harmonic mean of electron-nucleus distances; x: (B, ne, 1, 3)."""
-    ae = x - atoms[None, ...]
-    r_ae = jnp.linalg.norm(ae, axis=-1, keepdims=True)
-    return 1.0 / jnp.mean(1.0 / r_ae, axis=-2, keepdims=True)
+    """Per-electron harmonic-mean distance to the nuclei.
+
+    x: (batch, nelec, 1, ndim); atoms: (natom, ndim).
+    Returns (batch, nelec, 1, 1) — the proposal length scale that shrinks
+    near nuclei (qmc.py:43-60 semantics).
+    """
+    dists = jnp.linalg.norm(x - atoms[None], axis=-1, keepdims=True)
+    return 1.0 / jnp.mean(1.0 / dists, axis=-2, keepdims=True)
 
 
 def limit_drift(g: jnp.ndarray, cutoff: float = 1.0) -> jnp.ndarray:

@@ -3,8 +3,20 @@
 STO-3G is generated from the universal STO-3G expansion of Slater
 orbitals: exponents at zeta=1 scale as zeta^2 per shell, contraction
 coefficients are shell-universal (Hehre, Stewart & Pople, JCP 51, 2657
-(1969)). Supported elements: Z = 1..10 (covers the reference bench
-systems H / Li / C; the table is trivially extensible).
+(1969)). Supported elements: Z = 1..10.
+
+cc-pVDZ carries explicit Dunning correlation-consistent tables
+(JCP 90, 1007 (1989); Li from Prascher et al., Theor Chem Acc 128, 69
+(2011)) for the elements the reference benchmark systems use: H, Li, C
+(BASELINE.md: H2/H10, LiH rock salt, bcc-Li, C diamond/graphene).
+Contraction coefficients are over unit-normalized primitives (the Basis
+Set Exchange convention). d shells are CARTESIAN (6 components); the
+extra x^2+y^2+z^2 combination slightly enlarges the variational space
+versus the published spherical-harmonic convention.
+
+Requesting an element/basis combination outside these tables raises
+NotImplementedError — never a silent fallback (round-1 advisory:
+pretraining quality must not degrade quietly).
 
 Replaces the role of PySCF's basis machinery for the native SCF
 (reference couples to PySCF via hf.py:26 and cell.basis).
@@ -41,6 +53,66 @@ _STO3G_ZETA = {
     9: (8.65, 2.55),
     10: (9.64, 2.88),
 }
+
+
+# cc-pVDZ tables: {Z: [(l, exponents, coefficients), ...]}, coefficients
+# over normalized primitives. H: (4s,1p)->[2s,1p]; Li/C: (9s,4p,1d)->[3s,2p,1d].
+_CCPVDZ = {
+    1: [  # H
+        (0,
+         np.array([13.0100, 1.9620, 0.4446, 0.1220]),
+         np.array([0.0196850, 0.1379770, 0.4781480, 0.5012400])),
+        (0, np.array([0.1220]), np.array([1.0])),
+        (1, np.array([0.7270]), np.array([1.0])),
+    ],
+    3: [  # Li
+        (0,
+         np.array([1469.0, 220.5, 50.26, 14.24, 4.581, 1.580, 0.5640,
+                   0.07345, 0.02805]),
+         np.array([0.0007660, 0.0058920, 0.0296710, 0.1091800, 0.2827890,
+                   0.4531230, 0.2747740, 0.0097510, -0.0031800])),
+        (0,
+         np.array([1469.0, 220.5, 50.26, 14.24, 4.581, 1.580, 0.5640,
+                   0.07345, 0.02805]),
+         np.array([-0.0001200, -0.0009230, -0.0046890, -0.0176820,
+                   -0.0489020, -0.0960090, -0.1363800, 0.5751020,
+                   0.5176610])),
+        (0, np.array([0.02805]), np.array([1.0])),
+        (1,
+         np.array([1.5340, 0.2749, 0.07362]),
+         np.array([0.0227840, 0.1391070, 0.5003750])),
+        (1, np.array([0.02403]), np.array([1.0])),
+        (2, np.array([0.1239]), np.array([1.0])),
+    ],
+    6: [  # C
+        (0,
+         np.array([6665.0, 1000.0, 228.0, 64.71, 21.06, 7.495, 2.797,
+                   0.5215, 0.1596]),
+         np.array([0.000692, 0.005329, 0.027077, 0.101718, 0.274740,
+                   0.448564, 0.285074, 0.015204, -0.003191])),
+        (0,
+         np.array([6665.0, 1000.0, 228.0, 64.71, 21.06, 7.495, 2.797,
+                   0.5215, 0.1596]),
+         np.array([-0.000146, -0.001154, -0.005725, -0.023312, -0.063955,
+                   -0.149981, -0.127262, 0.544529, 0.580496])),
+        (0, np.array([0.1596]), np.array([1.0])),
+        (1,
+         np.array([9.439, 2.002, 0.5456, 0.1517]),
+         np.array([0.038109, 0.209480, 0.508557, 0.468842])),
+        (1, np.array([0.1517]), np.array([1.0])),
+        (2, np.array([0.5500]), np.array([1.0])),
+    ],
+}
+
+
+def ccpvdz_shells_for_atom(z: int) -> List[Tuple[int, np.ndarray, np.ndarray]]:
+    """[(l, exponents, coefficients)] for element Z, cc-pVDZ."""
+    if z not in _CCPVDZ:
+        raise NotImplementedError(
+            f"cc-pvdz built-in table covers H/Li/C (Z=1,3,6); got Z={z}. "
+            "Extend _CCPVDZ in scf/basis.py with the published exponents."
+        )
+    return [(l, e.copy(), c.copy()) for l, e, c in _CCPVDZ[z]]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,16 +169,20 @@ def build_shells(cell, basis: str = "sto-3g",
     primitives are near-linearly-dependent across cells and blow up the
     lattice sums.
     """
-    name = basis.lower().replace("_", "-")
-    if name not in ("sto-3g", "sto3g", "minimal", ""):
+    name = basis.lower().replace("_", "-").replace(" ", "")
+    if name in ("sto-3g", "sto3g", "minimal", ""):
+        shells_for_atom = sto3g_shells_for_atom
+    elif name in ("cc-pvdz", "ccpvdz"):
+        shells_for_atom = ccpvdz_shells_for_atom
+    else:
         raise NotImplementedError(
-            f"built-in bases: sto-3g (got {basis!r}); pass explicit shells "
-            "or extend scf/basis.py"
+            f"built-in bases: sto-3g, cc-pvdz (got {basis!r}); pass explicit "
+            "shells or extend scf/basis.py"
         )
     shells = []
     for ia, (sym, xyz) in enumerate(zip(cell.atom_symbols, cell.atom_coords)):
         z = elements.symbol_to_number(sym)
-        for l, exps, coefs in sto3g_shells_for_atom(z):
+        for l, exps, coefs in shells_for_atom(z):
             keep = np.asarray(exps) >= (exp_to_discard or 0.0)
             if not np.any(keep):
                 continue

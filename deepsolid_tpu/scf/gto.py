@@ -6,8 +6,8 @@ of PySCF's eval_gto("PBCGTOval_sph") used by the reference for pretraining
 targets (hf.py:106-122) — but jittable, so targets evaluate inside the
 pretrain step with no host round-trip.
 
-Only s and p shells (l <= 1), matching the built-in STO-3G tables; cartesian
-p == spherical p.
+Shells are CARTESIAN with any angular momentum the basis tables provide
+(s, p, and 6-component d as of cc-pVDZ); cartesian p == spherical p.
 """
 
 from __future__ import annotations

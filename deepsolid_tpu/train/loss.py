@@ -61,17 +61,16 @@ def make_loss(
     clip_type: str = "real",
     mode: str = "partition",
     partition_number: int = 3,
-    register_loss_callback: Callable = None,
     network_obj=None,
     el_chunk: int = 0,
 ) -> Callable:
     """total_energy(params, data) -> (loss, AuxiliaryLossData), custom JVP.
 
     `network(params, x)` returns complex log psi for a single walker;
-    `batch_network` its batched version. `register_loss_callback` lets the
-    KFAC optimizer register psi as a normal predictive distribution
-    (reference: train.py:133). `network_obj` enables the forward-Laplacian
-    kinetic engine (mode='forward').
+    `batch_network` its batched version. `network_obj` enables the
+    forward-Laplacian kinetic engine (mode='forward'). The reference's
+    KFAC loss registration (train.py:133) has no analog here: the native
+    optimizer captures curvature through explicit layer taps instead.
     """
     el_fun = make_local_energy(
         network, supercell, mode=mode, partition_number=partition_number,
@@ -85,7 +84,11 @@ def make_loss(
         def batch_local_energy(params, data):
             n = data.shape[0]
             if n % el_chunk != 0:
-                return vmapped_el(params, data)
+                raise ValueError(
+                    f"optim.el_chunk={el_chunk} must divide the per-device "
+                    f"walker batch ({n}); a silent whole-batch fallback "
+                    "would OOM exactly the runs that need chunking"
+                )
             chunks = data.reshape(n // el_chunk, el_chunk, data.shape[-1])
             ke, ew = jax.lax.map(lambda d: vmapped_el(params, d), chunks)
             return ke.reshape(n), ew.reshape(n)
@@ -145,8 +148,7 @@ def make_loss(
         ok = aux.finite != 0
         psi_tangent = jnp.where(ok, psi_tangent, 0.0)
         clip_diff = jnp.where(ok, clip_diff, 0.0)
-        if register_loss_callback is not None:
-            register_loss_callback(jnp.conjugate(psi_primal)[:, None])
+        del psi_primal  # only the tangent enters the gradient estimator
         # mean (not dot): keeps the gradient batch-size independent, which
         # the KFAC norm constraint relies on (train.py:136-138). The cross-
         # device pmean of the resulting gradient happens in the training

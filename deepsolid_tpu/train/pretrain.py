@@ -31,22 +31,27 @@ from deepsolid_tpu.scf.interface import PlaneWaveOrbitals
 def make_orbital_source(cfg, sc):
     """Pick the pretraining orbital source.
 
-    Native GTO Hartree-Fock (scf/hf.py) when a basis is configured and
-    supported; plane waves otherwise.
+    Native GTO Hartree-Fock (scf/hf.py) when a basis is configured;
+    plane waves when basis is empty or explicitly 'planewave'. An
+    unsupported basis/element combination is a HARD error — a requested
+    basis must never silently degrade pretraining quality (round-1
+    advisory). Genuine SCF bugs propagate unmasked.
     """
-    if cfg.system.get("basis"):
-        try:
-            from deepsolid_tpu.scf import hf as hf_lib
+    basis = cfg.system.get("basis")
+    if basis and basis.lower() not in ("planewave", "plane-wave", "pw"):
+        from deepsolid_tpu.scf import hf as hf_lib
 
+        try:
             return hf_lib.ScfOrbitals.build(
-                sc, basis=cfg.system.basis, twist=tuple(cfg.network.twist),
+                sc, basis=basis, twist=tuple(cfg.network.twist),
                 level=cfg.pretrain.get("scf", "core"),
             )
-        except Exception as e:  # noqa: BLE001 — fall back, but say why
-            logging.warning(
-                "Native SCF unavailable for basis=%s (%s); falling back to "
-                "plane-wave pretraining targets.", cfg.system.basis, e,
-            )
+        except NotImplementedError as e:
+            raise NotImplementedError(
+                f"Requested basis {basis!r} is not supported by the native "
+                f"SCF ({e}). Set cfg.system.basis='planewave' to opt into "
+                "plane-wave pretraining targets instead."
+            ) from e
     return PlaneWaveOrbitals(
         sc, twist=tuple(cfg.network.twist), policy=cfg.system.klist_policy
     )

@@ -27,6 +27,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from deepsolid_tpu import observables as observables_lib
 from deepsolid_tpu.models.network import NetworkConfig, make_network
 from deepsolid_tpu.parallel import DATA_AXIS, all_mean, local_mesh, pmean_if_axis
+from deepsolid_tpu.sampling import mcmc as mcmc_lib
 from deepsolid_tpu.sampling.init import init_electrons
 from deepsolid_tpu.sampling.mcmc import make_mcmc_step
 from deepsolid_tpu.scf.free_electron import free_electron_klist
@@ -172,7 +173,6 @@ def process(cfg, max_iterations: Optional[int] = None):
 
     optimizer_name = cfg.optim.optimizer
     kfac_optimizer = None
-    register_loss = None
     if optimizer_name == "kfac":
         from deepsolid_tpu.optim import kfac as kfac_lib
 
@@ -183,11 +183,11 @@ def process(cfg, max_iterations: Optional[int] = None):
             norm_constraint=cfg.optim.kfac.norm_constraint,
             cov_ema_decay=cfg.optim.kfac.cov_ema_decay,
             invert_every=cfg.optim.kfac.invert_every,
+            cov_update_every=cfg.optim.kfac.cov_update_every,
             min_damping=cfg.optim.kfac.min_damping,
             momentum=cfg.optim.kfac.momentum,
             l2_reg=cfg.optim.kfac.l2_reg,
         )
-        register_loss = None  # curvature is captured via layer taps
 
     total_energy = make_loss(
         net.logdet,
@@ -197,7 +197,6 @@ def process(cfg, max_iterations: Optional[int] = None):
         clip_type=cfg.optim.clip_type,
         mode=cfg.optim.laplacian_mode,
         partition_number=cfg.optim.partition_number,
-        register_loss_callback=register_loss,
         network_obj=net,
         el_chunk=cfg.optim.get("el_chunk", 0),
     )
@@ -223,11 +222,15 @@ def process(cfg, max_iterations: Optional[int] = None):
         return data, pmove
 
     def adam_optimizer():
-        opt = optax.chain(
+        chain = []
+        if cfg.optim.gradient_clip > 0:
+            chain.append(optax.clip_by_global_norm(cfg.optim.gradient_clip))
+        chain += [
             optax.scale_by_adam(**dict(cfg.optim.adam)),
             optax.scale_by_schedule(learning_rate_schedule(cfg)),
             optax.scale(-1.0),
-        )
+        ]
+        opt = optax.chain(*chain)
         if cfg.optim.ministeps > 1:
             opt = optax.MultiSteps(opt, every_k_schedule=cfg.optim.ministeps)
         return opt
@@ -336,7 +339,14 @@ def process(cfg, max_iterations: Optional[int] = None):
         else cfg.optim.iterations
     )
     scale = sc.scale
-    pmoves = np.zeros(cfg.mcmc.adapt_frequency)
+    # adaptive proposal width runs on device (sampling/mcmc.py:update_mcmc_width)
+    pmoves = jnp.zeros(cfg.mcmc.adapt_frequency)
+    width_update = jax.jit(
+        functools.partial(
+            mcmc_lib.update_mcmc_width,
+            adapt_frequency=cfg.mcmc.adapt_frequency,
+        )
+    )
     time_of_last_ckpt = time.time()
     loss = None
 
@@ -394,15 +404,20 @@ def process(cfg, max_iterations: Optional[int] = None):
                 sk = np.asarray(structure_factor_fn(data)).real
                 with open(f"{ckpt_save_path}/structure_factor.csv", "a") as f:
                     f.write(f"{t}," + ",".join(str(v) for v in sk) + "\n")
+            if cfg.log.local_energies and t % cfg.log.stats_frequency == 0:
+                # per-walker local energies (Re, Im interleaved); opt-in —
+                # the reference declares this flag but never writes it
+                el = np.asarray(jax.device_get(e_l))
+                with open(f"{ckpt_save_path}/local_energies.csv", "a") as f:
+                    f.write(
+                        f"{t},"
+                        + ",".join(f"{v.real:.10g},{v.imag:.10g}" for v in el)
+                        + "\n"
+                    )
 
-            # adaptive proposal width (reference: process.py:367-374)
-            if t > 0 and t % cfg.mcmc.adapt_frequency == 0:
-                if np.mean(pmoves) > 0.55:
-                    mcmc_width = mcmc_width * 1.1
-                elif np.mean(pmoves) < 0.5:
-                    mcmc_width = mcmc_width / 1.1
-                pmoves[:] = 0
-            pmoves[t % cfg.mcmc.adapt_frequency] = pmove_val
+            # adaptive proposal width, fully on device
+            # (reference adapts on host: process.py:367-374)
+            mcmc_width, pmoves = width_update(t, mcmc_width, pmoves, pmove)
 
             if (
                 time.time() - time_of_last_ckpt > cfg.log.save_frequency * 60

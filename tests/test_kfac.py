@@ -145,7 +145,16 @@ def test_step_norm_constraint():
 
 
 def test_kfac_e2e_training():
-    """KFAC drives the H2 energy down over a short run."""
+    """KFAC demonstrably optimizes the H2 wavefunction over a short run.
+
+    The descent signal is the LOCAL-ENERGY VARIANCE, not the raw energy:
+    before the sampler equilibrates, mean E_L over non-|psi|^2 walkers is
+    not a variational bound and can sit far BELOW the true ground state,
+    so "energy(last) < energy(first)" tests walker equilibration, not
+    optimization (round-1 failure mode). Var[E_L] -> 0 as psi approaches
+    an eigenstate and is insensitive to that bias. Deterministic seeds via
+    small_cfg (debug.deterministic).
+    """
     import tempfile
 
     from deepsolid_tpu.train import process
@@ -154,6 +163,7 @@ def test_kfac_e2e_training():
     with tempfile.TemporaryDirectory() as tmpdir:
         cfg = small_cfg(tmpdir, "kfac", iterations=30)
         cfg.optim.lr.rate = 0.05
+        cfg.mcmc.burn_in = 40  # equilibrate before the measured window
         params, data, energy = process.process(cfg)
         assert np.isfinite(energy)
         import os
@@ -161,4 +171,9 @@ def test_kfac_e2e_training():
         csv = os.path.join(tmpdir, "train_stats.csv")
         rows = [l.split(",") for l in open(csv).read().strip().split("\n")[1:]]
         energies = np.array([float(r[1]) for r in rows])
-        assert np.mean(energies[-5:]) < np.mean(energies[:5])
+        variances = np.array([float(r[2]) for r in rows])
+        assert np.all(np.isfinite(energies))
+        # optimization evidence: the residual Var[E_L] shrinks hard
+        assert np.mean(variances[-5:]) < 0.5 * np.mean(variances[:5]), (
+            variances,
+        )

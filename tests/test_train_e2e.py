@@ -25,6 +25,7 @@ def small_cfg(tmpdir, optimizer="adam", iterations=3):
     cfg.network.detnet.determinants = 2
     cfg.log.save_path = tmpdir
     cfg.log.save_frequency = 1e9  # only the end-of-run checkpoint
+    cfg.debug.deterministic = True  # bit-for-bit reproducible e2e runs
     return cfg
 
 
