@@ -33,6 +33,33 @@ def twisted_kpts(sc: Supercell, twist=(0.0, 0.0, 0.0)) -> np.ndarray:
     return sc.kpts + shift
 
 
+def wrap_kpoints(klist: np.ndarray, prim_recip: np.ndarray) -> np.ndarray:
+    """Minimal-norm representative of each k modulo the PRIMITIVE
+    reciprocal lattice (first-BZ / Wigner-Seitz wrap).
+
+    Every consumer of an occupied k is invariant under k -> k - G for a
+    primitive reciprocal vector G: AO Bloch sums pick e^{-iG.T} = 1 over
+    lattice translations T, and supercell boundary phases pick
+    e^{-iG.L_sim} = 1. The NETWORK's fixed phase factors e^{ik.r} are not
+    invariant in conditioning: an unwrapped k (the supercell-folding
+    convention keeps fractional coordinates in [0,1)) forces the learned
+    periodic factor to unlearn a fast e^{iG.r} oscillation and inflates
+    the initial kinetic energy by ~|k|^2/2 per orbital — the round-1 H10
+    training stall. Always wrap before handing k's to the ansatz.
+    """
+    klist = np.asarray(klist, np.float64)
+    if klist.size == 0:
+        return klist
+    m = np.array(
+        list(itertools.product((-1, 0, 1), repeat=3)), np.float64
+    ) @ prim_recip
+    cand = klist[:, None, :] - m[None, :, :]
+    norms = np.sum(cand**2, axis=-1)
+    # deterministic tie-break on BZ boundaries: smallest shift index wins
+    best = np.argmin(np.round(norms, 12), axis=1)
+    return cand[np.arange(len(klist)), best]
+
+
 def _candidates(kpts: np.ndarray, prim_recip: np.ndarray, n: int):
     """All (k index, G) plane-wave states within a shell big enough for n."""
     nk = kpts.shape[0]
@@ -75,7 +102,7 @@ def fill_states(
         sel = np.asarray(sel)
     else:
         raise ValueError(f"Unknown filling policy: {policy}")
-    return kpts[cand_k[sel]], cand_vec[sel]
+    return wrap_kpoints(kpts[cand_k[sel]], prim_recip), cand_vec[sel]
 
 
 def fill_klist(

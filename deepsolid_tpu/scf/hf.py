@@ -24,9 +24,9 @@ import numpy as np
 
 from deepsolid_tpu.scf import basis as basis_lib
 from deepsolid_tpu.scf import integrals as ints
-from deepsolid_tpu.scf.free_electron import twisted_kpts
+from deepsolid_tpu.scf.free_electron import twisted_kpts, wrap_kpoints
 from deepsolid_tpu.scf.gto import PeriodicAOEvaluator, _lattice_images
-from deepsolid_tpu.system.cell import Supercell
+from deepsolid_tpu.system.cell import Supercell, reciprocal_vectors
 
 
 def _shell_pairs(shells):
@@ -517,7 +517,12 @@ class ScfOrbitals:
         else:
             raise ValueError(f"unknown SCF level: {level!r}")
 
-        # aufbau over (k, band) per spin channel
+        # aufbau over (k, band) per spin channel; network phases get the
+        # first-BZ (minimal-norm) representative of each occupied k — the
+        # AO Bloch sums below keep the raw kpts (both are k mod G_prim
+        # invariant; the network's fixed e^{ik.r} phases are not, in
+        # conditioning: see free_electron.wrap_kpoints)
+        wrapped = wrap_kpoints(kpts, reciprocal_vectors(prim.lattice))
         c_occ = ([], [])
         klists = ([], [])
         for s, n_s in enumerate(sc.nelec):
@@ -525,7 +530,7 @@ class ScfOrbitals:
             for ki in range(kpts.shape[0]):
                 bands = occ[ki]
                 c_occ[s].append(c_spin[s][ki][:, bands])
-                klists[s].extend([kpts[ki]] * len(bands))
+                klists[s].extend([wrapped[ki]] * len(bands))
         klist = tuple(
             np.asarray(kl).reshape(-1, 3) if kl else np.zeros((0, 3))
             for kl in klists

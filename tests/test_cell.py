@@ -100,3 +100,41 @@ def test_serialization_roundtrip():
 def test_parity_error():
     with pytest.raises(ValueError):
         Cell.from_atoms([Atom("H", (0, 0, 0))], np.eye(3), spin=0)
+
+
+def test_occupied_klist_is_first_bz_wrapped():
+    """Occupied k's handed to the network must be minimal-norm reps:
+    unwrapped [0, 2pi/a) k's inflate the fixed Bloch-phase kinetic energy
+    and stalled round-1 H10 training (see free_electron.wrap_kpoints)."""
+    import numpy as np
+
+    from deepsolid_tpu.scf.free_electron import free_electron_klist, wrap_kpoints
+    from deepsolid_tpu.system import Atom, Cell, make_supercell
+    from deepsolid_tpu.system.cell import reciprocal_vectors
+
+    cell = Cell.from_atoms(
+        [Atom("H", (0.9, 0.0, 0.0))], np.diag([1.8, 100.0, 100.0]), spin=1
+    )
+    sc = make_supercell(cell, np.diag([10, 1, 1]), spin=0)
+    b = 2 * np.pi / 1.8
+    prim_recip_chain = reciprocal_vectors(cell.lattice)
+    # the raw folded kpts use the [0, 1) fractional convention and reach
+    # k_x ~ 0.9 b; wrapped they form the symmetric set +-m b/10
+    assert sc.kpts[:, 0].max() > b / 2
+    wrapped_kpts = wrap_kpoints(sc.kpts, prim_recip_chain)
+    np.testing.assert_allclose(
+        np.sort(wrapped_kpts[:, 0]),
+        b / 10 * np.array([-4, -3, -2, -1, 0, 1, 2, 3, 4, 5]),
+        atol=1e-9,
+    )
+    for klist in free_electron_klist(sc):
+        # whatever the filling policy picks, the k's handed to the
+        # network must be first-BZ representatives
+        assert np.all(np.abs(klist[:, 0]) <= b / 2 + 1e-9), klist
+    # wrap_kpoints is idempotent and preserves k mod G
+    prim_recip = reciprocal_vectors(cell.lattice)
+    k = np.array([[3.14159265, 0.0, 0.0], [0.1, 0.0, 0.0]])
+    w = wrap_kpoints(k, prim_recip)
+    np.testing.assert_allclose(wrap_kpoints(w, prim_recip), w, atol=1e-12)
+    frac = (k - w) @ np.linalg.inv(prim_recip)
+    np.testing.assert_allclose(frac, np.round(frac), atol=1e-9)
