@@ -94,6 +94,12 @@ def default() -> ml_collections.ConfigDict:
                 },
                 "twist": (0.0, 0.0, 0.0),
             },
+            "parallel": {
+                # trailing mesh-axis size for sharding the 3N Laplacian
+                # tangent columns (laplacian_mode='forward' only); the
+                # remaining devices form the 'data' (walker) axis
+                "deriv_devices": 1,
+            },
             "debug": {
                 "check_nan": False,
                 "deterministic": False,

@@ -19,18 +19,25 @@ def make_local_energy(
     mode: str = "partition",
     partition_number: int = 3,
     network=None,
+    deriv_axis=None,
 ) -> Callable:
     """Builds E_L(params, x) -> (kinetic complex, ewald real) for one walker.
 
     f(params, x) must return complex log psi. mode='forward' uses the
-    forward-Laplacian engine and requires `network` (the Network object).
+    forward-Laplacian engine and requires `network` (the Network object);
+    `deriv_axis` optionally shards its 3N tangent columns over that mesh
+    axis (the production 2-D ('data', 'deriv') mesh).
     """
     if mode == "forward":
         if network is None:
             raise ValueError("laplacian mode 'forward' requires network=")
         from deepsolid_tpu.models.fwdlap_forward import make_kinetic_forward
 
-        kinetic = make_kinetic_forward(network)
+        kinetic = make_kinetic_forward(network, deriv_axis=deriv_axis)
+    elif deriv_axis is not None:
+        raise ValueError(
+            "deriv-axis sharding requires laplacian_mode='forward'"
+        )
     else:
         kinetic = make_kinetic(f, mode=mode, partition_number=partition_number)
     ewald = EwaldSum.build(supercell)

@@ -26,10 +26,22 @@ def diagonal_envelope(ae: jnp.ndarray, params) -> jnp.ndarray:
     return jnp.sum(jnp.exp(-r) * params["pi"], axis=1)
 
 
-def full_envelope(ae: jnp.ndarray, params) -> jnp.ndarray:
-    """Fully anisotropic decay with a (3,3) covariance per atom/orbital."""
+def full_envelope(ae: jnp.ndarray, params, name=None, eps=None, taps=None
+                  ) -> jnp.ndarray:
+    """Fully anisotropic decay with a (3,3) covariance per atom/orbital.
+
+    `name`/`eps`/`taps` hook the bilinear sigma application into the KFAC
+    capture machinery (the reference tags it with qmc1_tag for its
+    QmcBlockedDense block, network.py:361): taps[name] records the input
+    ae, eps[name] perturbs the ae.sigma output.
+    """
     # sigma: (3, 3, natom, nparam); ae: (n, natom, 3)
     ae_sigma = jnp.einsum("nak,kmap->nmap", ae, params["sigma"])
+    if name is not None:
+        if eps is not None and name in eps:
+            ae_sigma = ae_sigma + eps[name]
+        if taps is not None:
+            taps[name] = ae
     r = jnp.linalg.norm(ae_sigma, axis=1)  # (n, natom, nparam)
     return jnp.sum(jnp.exp(-r) * params["pi"], axis=1)
 

@@ -321,7 +321,13 @@ def orbital_matrices(
         raw = dense(h_split[i], params["orbital"][i], f"orbital_{i}", eps, taps)
         nparam = raw.shape[-1] // 2
         orb = raw[..., :nparam] + 1j * raw[..., nparam:]
-        env = envelope_fn(to_env_split[i], params["envelope"][i])
+        if cfg.envelope_type == "full":
+            env = envelope_fn(
+                to_env_split[i], params["envelope"][i],
+                name=f"envelope_{i}", eps=eps, taps=taps,
+            )
+        else:
+            env = envelope_fn(to_env_split[i], params["envelope"][i])
         orb = env * orb
         norb = sum(spins) if cfg.full_det else spin
         orb = orb.reshape(spin, cfg.determinants, norb).transpose(1, 0, 2)
@@ -418,6 +424,18 @@ class Network:
             reg[f"double_{i}"] = {"path": ("double", i), "has_bias": "b" in layer}
         for i, layer in enumerate(params["orbital"]):
             reg[f"orbital_{i}"] = {"path": ("orbital", i), "has_bias": "b" in layer}
+        return reg
+
+    def envelope_registry(self, params) -> Dict[str, Dict[str, Any]]:
+        """Full-envelope sigma params with per-atom Kronecker KFAC blocks
+        (reference analog: QmcBlockedDense via qmc1_tag,
+        curvature_tags_and_blocks.py:56-132). Empty unless
+        envelope_type == 'full'."""
+        if self.cfg.envelope_type != "full":
+            return {}
+        reg = {}
+        for i in range(len(params["envelope"])):
+            reg[f"envelope_{i}"] = {"path": ("envelope", i, "sigma")}
         return reg
 
 

@@ -20,19 +20,19 @@ _LIB = None
 _TRIED = False
 
 
-def _source_path() -> str:
-    return os.path.join(os.path.dirname(__file__), "sr_eri.cpp")
+def _source_path(name: str = "sr_eri") -> str:
+    return os.path.join(os.path.dirname(__file__), f"{name}.cpp")
 
 
-def _build() -> str:
-    src = _source_path()
+def _build(name: str = "sr_eri") -> str:
+    src = _source_path(name)
     with open(src, "rb") as f:
         tag = hashlib.sha256(f.read()).hexdigest()[:16]
     cache = os.path.join(
         os.path.expanduser("~"), ".cache", "deepsolid_tpu"
     )
     os.makedirs(cache, exist_ok=True)
-    out = os.path.join(cache, f"sr_eri_{tag}.so")
+    out = os.path.join(cache, f"{name}_{tag}.so")
     if os.path.exists(out):
         return out
     tmp = tempfile.mktemp(suffix=".so", dir=cache)
@@ -66,3 +66,29 @@ def load():
         logging.info("native sr_eri unavailable (%s); using numpy path", e)
         _LIB = None
     return _LIB
+
+
+_PAIR_FT = None
+_PAIR_FT_TRIED = False
+
+
+def load_pair_ft():
+    """ctypes handle to the pair-FT moment-table kernel, or None."""
+    global _PAIR_FT, _PAIR_FT_TRIED
+    if _PAIR_FT_TRIED:
+        return _PAIR_FT
+    _PAIR_FT_TRIED = True
+    try:
+        lib = ctypes.CDLL(_build("pair_ft"))
+        d = ctypes.POINTER(ctypes.c_double)
+        lib.pair_ft_r_table.restype = ctypes.c_int
+        lib.pair_ft_r_table.argtypes = [
+            ctypes.c_int, ctypes.c_int, d, d, d, d, ctypes.c_int64,
+            d, d, d, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_double, d, d,
+        ]
+        _PAIR_FT = lib
+    except Exception as e:  # noqa: BLE001 — fall back to numpy path
+        logging.info("native pair_ft unavailable (%s); using numpy path", e)
+        _PAIR_FT = None
+    return _PAIR_FT

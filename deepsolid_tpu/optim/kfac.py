@@ -100,6 +100,12 @@ class KfacOptimizer:
     def _registry(self, params):
         return self.network.layer_registry(params)
 
+    def _env_registry(self, params):
+        """Full-envelope sigma params: per-atom Kronecker blocks
+        (reference: QmcBlockedDense, curvature_tags_and_blocks.py:56-132)."""
+        getter = getattr(self.network, "envelope_registry", None)
+        return getter(params) if getter is not None else {}
+
     def _dense_paths(self, params):
         reg = self._registry(params)
         paths = set()
@@ -107,6 +113,8 @@ class KfacOptimizer:
             paths.add(info["path"] + ("w",))
             if info["has_bias"]:
                 paths.add(info["path"] + ("b",))
+        for info in self._env_registry(params).values():
+            paths.add(info["path"])
         return reg, paths
 
     def _diag_paths(self, params, dense_paths):
@@ -131,10 +139,22 @@ class KfacOptimizer:
 
         taps = jax.eval_shape(f, params, x_spec)
         reg = self._registry(params)
+        env_reg = self._env_registry(params)
         shapes = {}
         for name, tap in taps.items():
-            w = _tree_get(params, reg[name]["path"])["w"]
-            shapes[name] = (tuple(tap.shape), tuple(tap.shape[:-1]) + (w.shape[-1],))
+            if name in env_reg:
+                # tap = ae (n_s, natom, 3); out = ae.sigma (n_s, m, natom, np)
+                sigma = _tree_get(params, env_reg[name]["path"])
+                n_s, natom = tap.shape[0], tap.shape[1]
+                shapes[name] = (
+                    tuple(tap.shape),
+                    (n_s, sigma.shape[1], natom, sigma.shape[3]),
+                )
+            else:
+                w = _tree_get(params, reg[name]["path"])["w"]
+                shapes[name] = (
+                    tuple(tap.shape), tuple(tap.shape[:-1]) + (w.shape[-1],)
+                )
         return shapes
 
     # ---------------- state ---------------------------------------------------
@@ -160,6 +180,21 @@ class KfacOptimizer:
                 "g_inv": jnp.zeros((d_out, d_out), dtype),
                 "extra_scale": jnp.asarray(extra_scale, dtype),
             }
+        env_blocks = {}
+        for name, info in self._env_registry(params).items():
+            sigma = _tree_get(params, info["path"])  # (k, m, natom, np)
+            in_shape, _ = shapes[name]
+            n_s, natom = in_shape[0], in_shape[1]
+            k, m, npar = sigma.shape[0], sigma.shape[1], sigma.shape[3]
+            env_blocks[name] = {
+                "a_raw": jnp.zeros((natom, k, k), dtype),
+                "g_raw": jnp.zeros((natom, m * npar, m * npar), dtype),
+                "weight": jnp.zeros((), dtype),
+                "a_inv": jnp.zeros((natom, k, k), dtype),
+                "g_inv": jnp.zeros((natom, m * npar, m * npar), dtype),
+                # repeats = electrons the bilinear map is applied to
+                "extra_scale": jnp.asarray(float(n_s), dtype),
+            }
         diag = {}
         for path in self._diag_paths(params, dense_paths):
             leaf = _tree_get(params, path)
@@ -171,6 +206,7 @@ class KfacOptimizer:
             "step": jnp.zeros((), jnp.int32),
             "velocities": jax.tree_util.tree_map(jnp.zeros_like, params),
             "blocks": blocks,
+            "env_blocks": env_blocks,
             "diag": diag,
         }
         if mesh is not None:
@@ -269,6 +305,29 @@ class KfacOptimizer:
                 "weight": block["weight"] * ema_old + 1.0,
             }
 
+        env_blocks = dict(state.get("env_blocks", {}))
+        for name, block in env_blocks.items():
+            x = taps[name]  # (B, n_s, natom, k)
+            n_rep = x.shape[0] * x.shape[1]
+            a_upd = pmean_if_axis(
+                jnp.einsum("bnak,bnal->akl", x, x) / n_rep, DATA_AXIS
+            )
+            d_re, d_im = dy[name]  # (B, n_s, m, natom, np)
+            B, n_s, m, natom, npar = d_re.shape
+            d_re = d_re.transpose(0, 1, 3, 2, 4).reshape(B, n_s, natom, m * npar)
+            d_im = d_im.transpose(0, 1, 3, 2, 4).reshape(B, n_s, natom, m * npar)
+            g_upd = pmean_if_axis(
+                (jnp.einsum("bnak,bnal->akl", d_re, d_re)
+                 + jnp.einsum("bnak,bnal->akl", d_im, d_im)) / n_rep,
+                DATA_AXIS,
+            )
+            env_blocks[name] = {
+                **block,
+                "a_raw": block["a_raw"] * ema_old + a_upd,
+                "g_raw": block["g_raw"] * ema_old + g_upd,
+                "weight": block["weight"] * ema_old + 1.0,
+            }
+
         diag = dict(state["diag"])
         for key, entry in diag.items():
             g_re, g_im = diag_grads[key]
@@ -278,7 +337,8 @@ class KfacOptimizer:
                 "weight": entry["weight"] * ema_old + 1.0,
             }
 
-        return {**state, "blocks": blocks, "diag": diag}
+        return {**state, "blocks": blocks, "env_blocks": env_blocks,
+                "diag": diag}
 
     def refresh_inverses(self, state, damping):
         blocks = dict(state["blocks"])
@@ -290,7 +350,18 @@ class KfacOptimizer:
                 a, g, damping / block["extra_scale"]
             )
             blocks[name] = {**block, "a_inv": a_inv, "g_inv": g_inv}
-        return {**state, "blocks": blocks}
+        env_blocks = dict(state.get("env_blocks", {}))
+        for name, block in env_blocks.items():
+            w = jnp.maximum(block["weight"], 1e-30)
+            a = block["a_raw"] / w  # (natom, k, k)
+            g = block["g_raw"] / w  # (natom, mn, mn)
+            a_inv, g_inv = jax.vmap(
+                lambda aj, gj: pi_adjusted_inverse(
+                    aj, gj, damping / block["extra_scale"]
+                )
+            )(a, g)
+            env_blocks[name] = {**block, "a_inv": a_inv, "g_inv": g_inv}
+        return {**state, "blocks": blocks, "env_blocks": env_blocks}
 
     def precondition(self, state, params, grads, damping):
         """F^-1 g using the cached inverses (curvature_blocks TwoKronecker
@@ -312,6 +383,18 @@ class KfacOptimizer:
                 node["b"] = result[-1]
             else:
                 node["w"] = result.reshape(w_g.shape)
+        env_reg = self._env_registry(params)
+        for name, info in env_reg.items():
+            block = state["env_blocks"][name]
+            sig_grad = _tree_get(grads, info["path"])  # (k, m, natom, np)
+            k, m, natom, npar = sig_grad.shape
+            v = sig_grad.transpose(2, 0, 1, 3).reshape(natom, k, m * npar)
+            res = jnp.einsum(
+                "akl,alm,amn->akn", block["a_inv"], v, block["g_inv"]
+            ) / block["extra_scale"]
+            res = res.reshape(natom, k, m, npar).transpose(1, 2, 0, 3)
+            node = _tree_get(out, info["path"][:-1])
+            node[info["path"][-1]] = res
         for key in state["diag"]:
             path = tuple(int(p) if p.isdigit() else p for p in key.split("/"))
             entry = state["diag"][key]

@@ -21,12 +21,36 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+DERIV_AXIS = "deriv"
 
 
 def local_mesh(n: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     """A 1-D mesh over (the first n) local devices."""
     devices = np.asarray(jax.devices() if n is None else jax.devices()[:n])
     return Mesh(devices, (axis,))
+
+
+def make_mesh(deriv_devices: int = 1) -> Mesh:
+    """The production mesh: ('data',) or ('data', 'deriv').
+
+    With deriv_devices > 1 the 3N Laplacian tangent columns of the
+    forward engine shard over the trailing 'deriv' axis (the workload's
+    analog of sequence/context parallelism, SURVEY.md §5) while walkers
+    shard over 'data'. deriv ranks hold identical walkers/params: the VMC
+    gradient estimator differentiates only the (replicated) forward pass,
+    so no cross-deriv gradient reduction is needed — the jets psum their
+    cross-tangent contractions internally.
+    """
+    devices = jax.devices()
+    if deriv_devices <= 1:
+        return Mesh(np.asarray(devices), (DATA_AXIS,))
+    if len(devices) % deriv_devices != 0:
+        raise ValueError(
+            f"parallel.deriv_devices={deriv_devices} must divide the "
+            f"device count ({len(devices)})"
+        )
+    grid = np.asarray(devices).reshape(-1, deriv_devices)
+    return Mesh(grid, (DATA_AXIS, DERIV_AXIS))
 
 
 def pmean_if_axis(x, axis: str = DATA_AXIS):

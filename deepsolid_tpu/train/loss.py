@@ -63,6 +63,7 @@ def make_loss(
     partition_number: int = 3,
     network_obj=None,
     el_chunk: int = 0,
+    deriv_axis=None,
 ) -> Callable:
     """total_energy(params, data) -> (loss, AuxiliaryLossData), custom JVP.
 
@@ -74,7 +75,7 @@ def make_loss(
     """
     el_fun = make_local_energy(
         network, supercell, mode=mode, partition_number=partition_number,
-        network=network_obj,
+        network=network_obj, deriv_axis=deriv_axis,
     )
     vmapped_el = jax.vmap(el_fun, in_axes=(None, 0), out_axes=0)
 

@@ -26,7 +26,13 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from deepsolid_tpu import observables as observables_lib
 from deepsolid_tpu.models.network import NetworkConfig, make_network
-from deepsolid_tpu.parallel import DATA_AXIS, all_mean, local_mesh, pmean_if_axis
+from deepsolid_tpu.parallel import (
+    DATA_AXIS,
+    DERIV_AXIS,
+    all_mean,
+    make_mesh,
+    pmean_if_axis,
+)
 from deepsolid_tpu.sampling import mcmc as mcmc_lib
 from deepsolid_tpu.sampling.init import init_electrons
 from deepsolid_tpu.sampling.mcmc import make_mcmc_step
@@ -83,16 +89,34 @@ def process(cfg, max_iterations: Optional[int] = None):
     if cfg.precision == "float64":
         jax.config.update("jax_enable_x64", True)
 
-    mesh = local_mesh()
-    num_devices = mesh.devices.size
-    batch_size = cfg.batch_size
-    logging.info("Starting QMC with %d devices", num_devices)
-    if batch_size % num_devices != 0:
+    deriv_devices = int(cfg.get("parallel", {}).get("deriv_devices", 1))
+    deriv_axis = DERIV_AXIS if deriv_devices > 1 else None
+    if deriv_axis is not None and cfg.optim.laplacian_mode != "forward":
         raise ValueError(
-            f"Batch size {batch_size} not divisible by {num_devices} devices"
+            "parallel.deriv_devices > 1 requires "
+            "optim.laplacian_mode='forward'"
+        )
+    mesh = make_mesh(deriv_devices)
+    num_data = mesh.shape[DATA_AXIS]
+    batch_size = cfg.batch_size
+    logging.info(
+        "Starting QMC on mesh %s (%d data x %d deriv devices)",
+        dict(mesh.shape), num_data, deriv_devices,
+    )
+    if batch_size % num_data != 0:
+        raise ValueError(
+            f"Batch size {batch_size} not divisible by the {num_data}-way "
+            "data axis"
         )
 
     sc = _ensure_supercell(cfg.system.cell)
+    if deriv_axis is not None:
+        n_tangents = 3 * sum(sc.nelec)
+        if n_tangents % deriv_devices != 0:
+            raise ValueError(
+                f"parallel.deriv_devices={deriv_devices} must divide the "
+                f"3N={n_tangents} Laplacian tangent columns"
+            )
 
     # When an orbital source provides pretraining targets, the network's
     # Bloch phases must use the SAME occupied k-list (the reference gets
@@ -199,6 +223,7 @@ def process(cfg, max_iterations: Optional[int] = None):
         partition_number=cfg.optim.partition_number,
         network_obj=net,
         el_chunk=cfg.optim.get("el_chunk", 0),
+        deriv_axis=deriv_axis,
     )
     val_and_grad = jax.value_and_grad(total_energy, argnums=0, has_aux=True)
 

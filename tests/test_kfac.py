@@ -144,6 +144,73 @@ def test_step_norm_constraint():
     )
 
 
+def test_envelope_kronecker_block_matches_explicit_fisher():
+    """Full-envelope sigma gets a per-atom Kronecker block (reference:
+    QmcBlockedDense, curvature_tags_and_blocks.py:56-132). With ONE walker
+    and ONE electron the Kronecker factorization is exact:
+    F = extra_scale * (A kron G) must equal the explicit Fisher
+    2 (J_re J_re^T + J_im J_im^T) of log psi w.r.t. vec(sigma)."""
+    import numpy as np
+
+    from deepsolid_tpu.system import Atom, Cell, make_supercell
+
+    cell = Cell.from_atoms([Atom("H", (1.0, 1.2, 0.8))], np.eye(3) * 6.0,
+                           spin=1)
+    sc = make_supercell(cell, np.eye(3))
+    net = make_network(
+        sc,
+        free_electron_klist(sc),
+        NetworkConfig(hidden_dims=((8, 4),), determinants=2,
+                      envelope_type="full"),
+    )
+    key = jax.random.PRNGKey(3)
+    params = net.init(key)
+    data = init_electrons(key, sc, sc.nelec, batch_size=1)
+    opt = KfacOptimizer(
+        network=net, learning_rate_schedule=lambda t: 0.05, damping=1e-3
+    )
+    state = opt.init(params, data)
+    state = opt.update_curvature(state, params, data)
+    blk = state["env_blocks"]["envelope_0"]
+    a = np.asarray(blk["a_raw"][0])
+    g = np.asarray(blk["g_raw"][0])
+    f_kron = float(blk["extra_scale"]) * np.kron(a, g)
+
+    sigma = params["envelope"][0]["sigma"]  # (k, m, natom=1, np)
+    k, m, natom, npar = sigma.shape
+    x = data[0]
+
+    def logpsi_sigma(s, part):
+        p2 = jax.tree_util.tree_map(lambda v: v, params)
+        p2["envelope"][0]["sigma"] = s
+        out = net.logdet(p2, x)
+        return out.real if part == "re" else out.imag
+
+    vecs = []
+    for part in ("re", "im"):
+        jac = jax.jacrev(lambda s: logpsi_sigma(s, part))(sigma)
+        # vec order must match the block layout: k-major, then (m, np)
+        jac = np.asarray(jac).transpose(2, 0, 1, 3)[0].reshape(-1)
+        vecs.append(jac)
+    f_exact = 2.0 * (np.outer(vecs[0], vecs[0]) + np.outer(vecs[1], vecs[1]))
+    np.testing.assert_allclose(f_kron, f_exact, rtol=1e-8, atol=1e-12)
+
+
+def test_kfac_e2e_full_envelope_smoke():
+    """The KFAC step runs end-to-end with envelope_type='full' (the
+    env Kronecker blocks flow through curvature, inverse, precondition)."""
+    import tempfile
+
+    from deepsolid_tpu.train import process
+    from test_train_e2e import small_cfg
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        cfg = small_cfg(tmpdir, "kfac", iterations=2)
+        cfg.network.detnet.envelope_type = "full"
+        params, data, energy = process.process(cfg)
+        assert np.isfinite(energy)
+
+
 def test_kfac_e2e_training():
     """KFAC demonstrably optimizes the H2 wavefunction over a short run.
 

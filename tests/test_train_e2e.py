@@ -67,6 +67,37 @@ def test_train_none_optimizer():
         assert np.isfinite(energy)
 
 
+def test_train_2d_mesh_deriv_axis():
+    """Production 2-D ('data', 'deriv') mesh: full KFAC training step with
+    the forward-Laplacian tangent columns sharded over 'deriv'
+    (VERDICT #5: the deriv axis must be drivable from config)."""
+    from deepsolid_tpu.train import process
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        cfg = small_cfg(tmpdir, "kfac", iterations=2)
+        cfg.optim.laplacian_mode = "forward"
+        cfg.parallel.deriv_devices = 2  # 8 devices -> (4 data, 2 deriv)
+        cfg.batch_size = 32
+        params, data, energy = process.process(cfg)
+        assert np.isfinite(energy)
+
+
+def test_deriv_devices_misconfiguration_raises():
+    from deepsolid_tpu.train import process
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        cfg = small_cfg(tmpdir, "kfac", iterations=1)
+        cfg.optim.laplacian_mode = "forward"
+        cfg.parallel.deriv_devices = 4  # does not divide 3N = 6 tangents
+        cfg.batch_size = 32
+        with pytest.raises(ValueError, match="tangent"):
+            process.process(cfg)
+        cfg2 = small_cfg(tmpdir, "kfac", iterations=1)
+        cfg2.parallel.deriv_devices = 2  # partition mode: unsupported
+        with pytest.raises(ValueError, match="forward"):
+            process.process(cfg2)
+
+
 def test_train_importance_and_one_electron_sampling():
     """Driver wiring of the Langevin-importance and one-electron MCMC."""
     from deepsolid_tpu.train import process
