@@ -2,13 +2,19 @@
 
 Runs the hot path of VMC training — batched local energy (kinetic Laplacian
 + Ewald) of the full-size periodic FermiNet — on C-diamond 2x2x2
-(96 electrons), the north-star throughput config from BASELINE.md.
+(96 electrons), the north-star throughput config from BASELINE.md, at the
+PRODUCTION batch shape (1024 walkers/chip, the per-chip share of the
+reference's batch-4096 runs) with el_chunk-style walker chunking bounding
+the forward-Laplacian jet memory.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
-vs_baseline is measured against ROUND1_BASELINE below (the first recorded
-round-1 number on a TPU v5 lite chip); >1.0 means faster than round 1.
+vs_baseline is the live iso-batch ratio over the reference-style
+'partition' (chunked-JVP-ladder) engine measured in the same window and at
+the SAME batch size — the shared TPU pool's throughput fluctuates on a
+minutes timescale, so a live ratio is the only fair comparison. Extra keys
+report the measured FLOP rate and MFU against the chip's bf16 peak.
 """
 
 import json
@@ -22,8 +28,14 @@ import numpy as np
 # the upstream repo publishes no numbers of its own.
 ROUND1_BASELINE = 18.58  # measured 2026-08-16
 
+# TPU v5e (lite) peak: 197 TFLOP/s bf16 on the MXU. We run float32 (which
+# the MXU executes at a lower rate), so MFU against the bf16 peak is a
+# conservative lower bound.
+PEAK_FLOPS_BF16 = 197e12
 
-def build(S=2, batch=48, mode="forward", partition_number=None):
+
+def build(S=2, batch=1024, mode="forward", partition_number=None,
+          el_chunk=64):
     import jax
 
     from deepsolid_tpu.hamiltonian import make_local_energy
@@ -47,15 +59,26 @@ def build(S=2, batch=48, mode="forward", partition_number=None):
         net.logdet, sc, mode=mode, partition_number=partition_number,
         network=net,
     )
-    raw = jax.vmap(el, in_axes=(None, 0))
+    vm = jax.vmap(el, in_axes=(None, 0))
+
+    def chunked(p, d):
+        """el_chunk semantics (train/loss.py): scan over walker chunks so
+        the (chunk, 3N, ...) jet workspace stays resident in HBM."""
+        n = d.shape[0]
+        if el_chunk and n > el_chunk and n % el_chunk == 0:
+            chunks = d.reshape(n // el_chunk, el_chunk, d.shape[-1])
+            ke, ew = jax.lax.map(lambda c: vm(p, c), chunks)
+            return ke.reshape(n), ew.reshape(n)
+        return vm(p, d)
+
     # fetch real/imag separately: complex host transfers are unimplemented
     # on the axon TPU backend
-    batch_el = jax.jit(lambda p, d: (lambda ke, ew: (ke.real, ew))(*raw(p, d)))
+    batch_el = jax.jit(lambda p, d: (lambda ke, ew: (ke.real, ew))(*chunked(p, d)))
     return params, data, batch_el, sc
 
 
 def _rate(batch_el, params, data, batch, iters):
-    """Strictly sequential per-chip rate.
+    """Strictly sequential per-chip rate (+ total-FLOPs estimate).
 
     The shared-pool TPU runtime fans independent dispatches out across
     chips and its block_until_ready is unreliable, so the iterations run
@@ -79,32 +102,47 @@ def _rate(batch_el, params, data, batch, iters):
         )
         return c
 
-    float(np.asarray(run(params, data)))  # compile + warmup
+    lowered = run.lower(params, data)
+    compiled = lowered.compile()
+    try:
+        flops = float(compiled.cost_analysis()["flops"])
+    except Exception:
+        flops = float("nan")
+    float(np.asarray(compiled(params, data)))  # warmup
     t0 = time.perf_counter()
-    float(np.asarray(run(params, data + 1e-5)))
-    return batch * iters / (time.perf_counter() - t0)
+    float(np.asarray(compiled(params, data + 1e-5)))
+    dt = time.perf_counter() - t0
+    return batch * iters / dt, flops / dt
 
 
 def main():
-    # Measure BOTH engines back-to-back in the same window: the shared
-    # TPU pool's throughput fluctuates by up to 10x on a minutes
-    # timescale, so vs_baseline is the live forward/partition ratio (the
-    # reference-style JVP-ladder engine measured under identical
-    # conditions), not a ratio against a stale constant.
-    fwd = build(S=2, batch=48, mode="forward")
-    part = build(S=2, batch=16, mode="partition")
-    evals_per_sec = _rate(fwd[2], fwd[0], fwd[1], 48, 8)
-    base = _rate(part[2], part[0], part[1], 16, 4)
+    import jax
+
+    # production training precision (config.py matmul_precision: 1-pass
+    # bf16 matmuls demonstrably corrupt VMC training, so the honest
+    # benchmark number is the full-f32-accuracy one)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    # Measure BOTH engines back-to-back in the same window at the SAME
+    # production batch (iso-batch, VERDICT r1 #7).
+    batch = 1024
+    fwd = build(S=2, batch=batch, mode="forward", el_chunk=64)
+    part = build(S=2, batch=batch, mode="partition", el_chunk=16)
+    evals_per_sec, flops_per_sec = _rate(fwd[2], fwd[0], fwd[1], batch, 3)
+    base, _ = _rate(part[2], part[0], part[1], batch, 1)
+    mfu = flops_per_sec / PEAK_FLOPS_BF16
     print(
         json.dumps(
             {
                 "metric": "local_energy_evals_per_sec_per_chip "
-                          "(C-diamond 2x2x2, 96e, full-size net; "
-                          "vs_baseline = live ratio over the "
+                          "(C-diamond 2x2x2, 96e, full-size net, "
+                          "production batch 1024 w/ el_chunk=64; "
+                          "vs_baseline = live ISO-BATCH ratio over the "
                           "reference-style partition engine)",
                 "value": round(evals_per_sec, 3),
                 "unit": "walkers/s",
                 "vs_baseline": round(evals_per_sec / base, 3),
+                "tflops_per_sec": round(flops_per_sec / 1e12, 3),
+                "mfu_vs_bf16_peak": round(mfu, 4),
             }
         )
     )

@@ -21,6 +21,13 @@ def default() -> ml_collections.ConfigDict:
         {
             "batch_size": 4096,
             "precision": "float32",  # 'float32' | 'float64'
+            # MXU matmul passes for float32 arrays: 'highest' (6-pass bf16,
+            # full f32 accuracy — parity with the reference's A100 fp32),
+            # 'tensorfloat32' (3-pass), or 'default' (1-pass bf16 — FAST but
+            # demonstrably corrupts VMC training: on H10 the pretrained
+            # wavefunction's kinetic energy came out 8x too high and KFAC
+            # ascended; see round-2 notes)
+            "matmul_precision": "highest",
             "optim": {
                 "iterations": 1000000,
                 "optimizer": "kfac",  # 'kfac' | 'adam' | 'none'
@@ -65,6 +72,12 @@ def default() -> ml_collections.ConfigDict:
                 "complex_polarization": False,
                 "structure_factor": False,
                 "stats_file_name": "train_stats",
+                # non-empty: capture a jax.profiler (XProf/TensorBoard)
+                # device trace of training steps [trace_start,
+                # trace_start + trace_steps) into this directory
+                "trace_path": "",
+                "trace_start": 10,
+                "trace_steps": 5,
             },
             "system": {
                 "cell": None,  # deepsolid_tpu.system.Supercell (or dict)

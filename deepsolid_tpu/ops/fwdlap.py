@@ -181,10 +181,15 @@ def _use_fused(a: Jet, w) -> bool:
 def dense_tanh(a: Jet, w, b, axis_name=None) -> Jet:
     """Fused tanh(dense(.)) jet rule; Pallas kernel on TPU/f32 (keeps the
     (T, n, d_out) jac@w intermediate VMEM-resident), jnp composition
-    elsewhere. The fused kernel path requires an unsharded tangent axis."""
-    if b is None or axis_name is not None or not _use_fused(a, w):
+    elsewhere. With a device-sharded tangent axis (`axis_name`), the kernel
+    emits its local tangent-square partial sum and the cross-device
+    reduction rides one psum over the 'deriv' mesh axis."""
+    if b is None or not _use_fused(a, w):
         return tanh(dense(a, w, b), axis_name)
-    from deepsolid_tpu.ops.pallas.jet_kernels import fused_dense_tanh_jet
+    from deepsolid_tpu.ops.pallas.jet_kernels import (
+        fused_dense_tanh_jet,
+        fused_dense_tanh_jet_partial,
+    )
 
     t_dim = a.jac.shape[0]
     lead = a.val.shape[:-1]
@@ -192,8 +197,15 @@ def dense_tanh(a: Jet, w, b, axis_name=None) -> Jet:
     val2 = a.val.reshape(-1, d_in)
     jac2 = a.jac.reshape(t_dim, -1, d_in)
     lap2 = a.lap.reshape(-1, d_in)
-    v, j, l = fused_dense_tanh_jet(val2, jac2, lap2, w, b)
     d_out = w.shape[-1]
+    if axis_name is None:
+        v, j, l = fused_dense_tanh_jet(val2, jac2, lap2, w, b)
+    else:
+        v, j, lap_part, s_local = fused_dense_tanh_jet_partial(
+            val2, jac2, lap2, w, b
+        )
+        s = jax.lax.psum(s_local, axis_name)
+        l = lap_part + (-2.0 * v * (1.0 - v * v)) * s
     return Jet(
         v.reshape(lead + (d_out,)),
         j.reshape((t_dim,) + lead + (d_out,)),

@@ -65,6 +65,129 @@ def _kernel(val_ref, lap_ref, jac_ref, w_ref, b_ref,
         lap_o_ref[:] = out.astype(lap_o_ref.dtype)
 
 
+def _kernel_partial(val_ref, lap_ref, jac_ref, w_ref, b_ref,
+                    val_o_ref, lap_o_ref, jac_o_ref, s_o_ref,
+                    acc_ref, t_scr_ref):
+    """Like _kernel, but the tangent-square reduction is emitted as a
+    separate output `s` instead of folded into lap — for a device-sharded
+    tangent axis, where the caller must psum `s` across the mesh before
+    forming lap = d*(lap@w) + (-2 t d) * psum(s)."""
+    tk = pl.program_id(2)
+    n_tk = pl.num_programs(2)
+    w = w_ref[:]
+
+    @pl.when(tk == 0)
+    def _():
+        z = jnp.dot(val_ref[:], w, preferred_element_type=jnp.float32)
+        z = z + b_ref[:]
+        t = jnp.tanh(z)
+        t_scr_ref[:] = t
+        val_o_ref[:] = t.astype(val_o_ref.dtype)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    t = t_scr_ref[:]
+    d = 1.0 - t * t
+
+    yj = jax.lax.dot_general(
+        jac_ref[:], w,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (bt, bn, bc)
+    jac_o_ref[:] = (d[None] * yj).astype(jac_o_ref.dtype)
+    acc_ref[:] += jnp.sum(yj * yj, axis=0)
+
+    @pl.when(tk == n_tk - 1)
+    def _():
+        yl = jnp.dot(lap_ref[:], w, preferred_element_type=jnp.float32)
+        lap_o_ref[:] = (d * yl).astype(lap_o_ref.dtype)
+        s_o_ref[:] = acc_ref[:].astype(s_o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "block_c", "block_t")
+)
+def fused_dense_tanh_jet_partial(
+    val: jnp.ndarray,   # (n, d_in)
+    jac: jnp.ndarray,   # (T_local, n, d_in) — this device's tangent slice
+    lap: jnp.ndarray,   # (n, d_in)
+    w: jnp.ndarray,     # (d_in, d_out)
+    b: jnp.ndarray,     # (d_out,)
+    block_n: int = 64,
+    block_c: int = 128,
+    block_t: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(val_out, jac_out, lap_part, s_local) of the tanh(dense(.)) jet
+    rule with the tangent reduction left open:
+        lap_out = lap_part + (-2 val_out (1 - val_out^2)) * SUM(s_local)
+    where SUM runs over every device's s_local (psum over the 'deriv'
+    mesh axis; see ops/fwdlap.dense_tanh)."""
+    t_dim, n, d_in = jac.shape
+    d_out = w.shape[1]
+    bn = min(block_n, _round_up(n, 8))
+    bc = min(block_c, _round_up(d_out, 128))
+    bt = min(block_t, t_dim)
+
+    n_pad = _round_up(n, bn)
+    c_pad = _round_up(d_out, bc)
+    k_pad = _round_up(d_in, 128)
+    t_pad = _round_up(t_dim, bt)
+
+    def pad(x, shape):
+        out = jnp.zeros(shape, x.dtype)
+        return out.at[tuple(slice(0, s) for s in x.shape)].set(x)
+
+    valp = pad(val, (n_pad, k_pad))
+    lapp = pad(lap, (n_pad, k_pad))
+    jacp = pad(jac, (t_pad, n_pad, k_pad))
+    wp = pad(w, (k_pad, c_pad))
+    bp = pad(b.reshape(1, -1), (1, c_pad))
+
+    grid = (n_pad // bn, c_pad // bc, t_pad // bt)
+    val_o, lap_o, jac_o, s_o = pl.pallas_call(
+        _kernel_partial,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bn, k_pad), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, k_pad), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, bn, k_pad), lambda i, j, k: (k, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, bc), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, bc), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bc), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, bn, bc), lambda i, j, k: (k, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bc), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, c_pad), val.dtype),
+            jax.ShapeDtypeStruct((n_pad, c_pad), val.dtype),
+            jax.ShapeDtypeStruct((t_pad, n_pad, c_pad), val.dtype),
+            jax.ShapeDtypeStruct((n_pad, c_pad), val.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bn, bc), jnp.float32),
+            pltpu.VMEM((bn, bc), jnp.float32),
+        ],
+    )(valp, lapp, jacp, wp, bp)
+
+    return (
+        val_o[:n, :d_out],
+        jac_o[:t_dim, :n, :d_out],
+        lap_o[:n, :d_out],
+        s_o[:n, :d_out],
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_n", "block_c", "block_t")
 )

@@ -40,6 +40,7 @@ from deepsolid_tpu.scf.free_electron import free_electron_klist
 from deepsolid_tpu.system.cell import Supercell
 from deepsolid_tpu.train.loss import make_loss
 from deepsolid_tpu.utils import checkpoint as checkpoint_lib
+from deepsolid_tpu.utils import profiling
 from deepsolid_tpu.utils.writers import Writer
 
 
@@ -88,6 +89,10 @@ def process(cfg, max_iterations: Optional[int] = None):
     """
     if cfg.precision == "float64":
         jax.config.update("jax_enable_x64", True)
+    jax.config.update(
+        "jax_default_matmul_precision",
+        cfg.get("matmul_precision", "highest"),
+    )
 
     deriv_devices = int(cfg.get("parallel", {}).get("deriv_devices", 1))
     deriv_axis = DERIV_AXIS if deriv_devices > 1 else None
@@ -163,6 +168,19 @@ def process(cfg, max_iterations: Optional[int] = None):
             checkpoint_lib.restore(ckpt_restore_filename, batch_size)
         )
         data = jax.device_put(jnp.asarray(data), data_sharding)
+        # fail fast on a checkpoint from a different network architecture —
+        # otherwise the mismatch surfaces later as an obscure reshape error
+        # deep inside the first jitted step
+        want = jax.eval_shape(net.init, jax.random.PRNGKey(0))
+        got_shapes = jax.tree_util.tree_map(lambda a: jnp.shape(a), params)
+        want_shapes = jax.tree_util.tree_map(lambda a: a.shape, want)
+        if got_shapes != want_shapes:
+            raise ValueError(
+                f"Checkpoint {ckpt_restore_filename} holds parameters for a "
+                "different network architecture than this config builds "
+                "(shape mismatch). Point log.save_path/restore_path at a "
+                "fresh directory or use the original config."
+            )
         params = jax.device_put(params, repl_sharding)
         logging.info("Restored checkpoint %s", ckpt_restore_filename)
     else:
@@ -374,6 +392,13 @@ def process(cfg, max_iterations: Optional[int] = None):
     )
     time_of_last_ckpt = time.time()
     loss = None
+    # first-class profiling (absent upstream, SURVEY §5): windowed XProf
+    # trace of the steady-state training step, opt-in via log.trace_path
+    tracer = profiling.StepTracer(
+        cfg.log.get("trace_path", ""),
+        start=cfg.log.get("trace_start", 10),
+        steps=cfg.log.get("trace_steps", 5),
+    )
 
     with Writer(
         name=cfg.log.stats_file_name,
@@ -382,6 +407,7 @@ def process(cfg, max_iterations: Optional[int] = None):
         iteration_key="step",
     ) as writer:
         for t in range(t_init, iterations):
+            tracer.step(t - t_init)
             key, subkey = jax.random.split(key)
             if cfg.debug.check_nan:
                 prev = (params, data, opt_state)
@@ -459,5 +485,6 @@ def process(cfg, max_iterations: Optional[int] = None):
                         np.asarray(mcmc_width),
                     )
                 time_of_last_ckpt = time.time()
+        tracer.close()
 
     return params, data, (float(loss) / scale if loss is not None else None)

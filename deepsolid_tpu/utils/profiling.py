@@ -38,6 +38,37 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+class StepTracer:
+    """Capture a windowed device trace from inside a training loop.
+
+    Driven by `cfg.log.trace_path` (train/process.py): call `step(i)` once
+    per loop iteration with the loop-relative index; the tracer starts a
+    jax.profiler trace at `start` (after compile/warmup noise) and stops it
+    `steps` iterations later. `close()` is safe to call unconditionally.
+    """
+
+    def __init__(self, logdir: str, start: int = 10, steps: int = 5):
+        self.logdir = logdir
+        self.start = start
+        self.stop = start + steps
+        self._active = False
+
+    def step(self, i: int) -> None:
+        if not self.logdir:
+            return
+        if i == self.start and not self._active:
+            jax.profiler.start_trace(self.logdir, create_perfetto_link=False)
+            self._active = True
+        elif i >= self.stop and self._active:
+            self.close()
+
+    def close(self) -> None:
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            logging.info("Profiler trace written to %s", self.logdir)
+
+
 @contextlib.contextmanager
 def timed(name: str, sync: bool = True) -> Iterator[None]:
     """Wall-clock a host span (blocks on async dispatch when sync=True)."""

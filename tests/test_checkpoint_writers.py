@@ -57,6 +57,38 @@ def test_checkpoint_elastic_restore_device_count():
             ckpt_lib.restore(path, 32)  # wrong batch size still rejected
 
 
+def test_kfac_opt_state_checkpoint_roundtrip():
+    """The KFAC opt_state (nested dict of curvature factors) survives a
+    save/restore cycle bit-for-bit and remains usable afterwards."""
+    from test_kfac import small_setup
+
+    sc, net, params, data, opt = small_setup(batch=4)
+    state = opt.init(params, data)
+    state = opt.update_curvature(state, params, data)  # nonzero factors
+    state = opt.refresh_inverses(state, 1e-3)
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        path = ckpt_lib.save(
+            tmpdir, 3, np.asarray(data), jax.device_get(params),
+            jax.device_get(state), 0.05,
+        )
+        t, _, _, state2, width2 = ckpt_lib.restore(path, 4)
+    assert t == 4 and width2 == 0.05
+
+    flat, treedef = jax.tree_util.tree_flatten(jax.device_get(state))
+    flat2, treedef2 = jax.tree_util.tree_flatten(state2)
+    assert treedef == treedef2
+    for a, b in zip(flat, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # restored state is usable: inverses refresh to finite factors
+    state3 = opt.refresh_inverses(
+        jax.tree_util.tree_map(jnp.asarray, state2), 1e-3
+    )
+    for leaf in jax.tree_util.tree_leaves(state3):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
 def test_csv_writer_append_semantics():
     with tempfile.TemporaryDirectory() as tmpdir:
         with Writer("stats", ["a", "b"], directory=tmpdir) as w:

@@ -42,6 +42,45 @@ def test_fused_dense_tanh_jet_interpret(shape, monkeypatch):
         )
 
 
+def test_fused_dense_tanh_jet_partial_sharded_recombination(monkeypatch):
+    """The partial kernel run per tangent shard + a cross-shard sum of `s`
+    reproduces the unsharded jet rule (this is what dense_tanh does with
+    psum when the 'deriv' mesh axis shards the tangents)."""
+    from deepsolid_tpu.ops.pallas import jet_kernels
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(jet_kernels.pl, "pallas_call", interp_call)
+
+    t_dim, n, d_in, d_out = 12, 10, 20, 12
+    val, jac, lap, w, b = make_case(t_dim, n, d_in, d_out)
+    shards = [
+        jet_kernels.fused_dense_tanh_jet_partial(
+            val, jac[k * 6:(k + 1) * 6], lap, w, b,
+            block_n=8, block_c=128, block_t=4,
+        )
+        for k in range(2)
+    ]
+    s = shards[0][3] + shards[1][3]  # the psum over the deriv axis
+    v = shards[0][0]
+    lap_got = shards[0][2] + (-2.0 * v * (1.0 - v * v)) * s
+    jac_got = jnp.concatenate([sh[1] for sh in shards], axis=0)
+
+    want_v, want_j, want_l = jet_kernels.dense_tanh_jet_reference(
+        val, jac, lap, w, b
+    )
+    np.testing.assert_allclose(np.asarray(v), np.asarray(want_v),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(jac_got), np.asarray(want_j),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lap_got), np.asarray(want_l),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_fwdlap_dense_tanh_wrapper_fallback():
     """On CPU the wrapper must silently use the jnp path and agree."""
     from deepsolid_tpu.ops import fwdlap as fl

@@ -98,6 +98,26 @@ def test_deriv_devices_misconfiguration_raises():
             process.process(cfg2)
 
 
+def test_train_profiler_trace_from_config():
+    """log.trace_path captures an XProf trace of the training loop
+    (profiling must be reachable from config, VERDICT weak #10)."""
+    from deepsolid_tpu.train import process
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        cfg = small_cfg(tmpdir, "adam", iterations=3)
+        trace_dir = os.path.join(tmpdir, "trace")
+        cfg.log.trace_path = trace_dir
+        cfg.log.trace_start = 1
+        cfg.log.trace_steps = 1
+        params, data, energy = process.process(cfg)
+        assert np.isfinite(energy)
+        files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(trace_dir) for f in fs
+        ]
+        assert files, "trace_path set but no trace files were written"
+
+
 def test_train_importance_and_one_electron_sampling():
     """Driver wiring of the Langevin-importance and one-electron MCMC."""
     from deepsolid_tpu.train import process
