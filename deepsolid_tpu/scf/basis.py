@@ -84,6 +84,42 @@ _CCPVDZ = {
         (1, np.array([0.02403]), np.array([1.0])),
         (2, np.array([0.1239]), np.array([1.0])),
     ],
+    7: [  # N
+        (0,
+         np.array([9046.0, 1357.0, 309.3, 87.73, 28.56, 10.21, 3.838,
+                   0.7466, 0.2248]),
+         np.array([0.000700, 0.005389, 0.027406, 0.103207, 0.278723,
+                   0.448540, 0.278238, 0.015440, -0.002864])),
+        (0,
+         np.array([9046.0, 1357.0, 309.3, 87.73, 28.56, 10.21, 3.838,
+                   0.7466, 0.2248]),
+         np.array([-0.000153, -0.001208, -0.005992, -0.024544, -0.067459,
+                   -0.158078, -0.121831, 0.549003, 0.578815])),
+        (0, np.array([0.2248]), np.array([1.0])),
+        (1,
+         np.array([13.55, 2.917, 0.7973, 0.2185]),
+         np.array([0.039919, 0.217169, 0.510319, 0.462214])),
+        (1, np.array([0.2185]), np.array([1.0])),
+        (2, np.array([0.8170]), np.array([1.0])),
+    ],
+    8: [  # O
+        (0,
+         np.array([11720.0, 1759.0, 400.8, 113.7, 37.03, 13.27, 5.025,
+                   1.013, 0.3023]),
+         np.array([0.000710, 0.005470, 0.027837, 0.104800, 0.283062,
+                   0.448719, 0.270952, 0.015458, -0.002585])),
+        (0,
+         np.array([11720.0, 1759.0, 400.8, 113.7, 37.03, 13.27, 5.025,
+                   1.013, 0.3023]),
+         np.array([-0.000160, -0.001263, -0.006267, -0.025716, -0.070924,
+                   -0.165411, -0.116955, 0.557368, 0.572759])),
+        (0, np.array([0.3023]), np.array([1.0])),
+        (1,
+         np.array([17.70, 3.854, 1.046, 0.2753]),
+         np.array([0.043018, 0.228913, 0.508728, 0.460531])),
+        (1, np.array([0.2753]), np.array([1.0])),
+        (2, np.array([1.185]), np.array([1.0])),
+    ],
     6: [  # C
         (0,
          np.array([6665.0, 1000.0, 228.0, 64.71, 21.06, 7.495, 2.797,
@@ -109,8 +145,9 @@ def ccpvdz_shells_for_atom(z: int) -> List[Tuple[int, np.ndarray, np.ndarray]]:
     """[(l, exponents, coefficients)] for element Z, cc-pVDZ."""
     if z not in _CCPVDZ:
         raise NotImplementedError(
-            f"cc-pvdz built-in table covers H/Li/C (Z=1,3,6); got Z={z}. "
-            "Extend _CCPVDZ in scf/basis.py with the published exponents."
+            f"cc-pvdz built-in table covers H/Li/C/N/O (Z=1,3,6,7,8); got "
+            f"Z={z}. Extend _CCPVDZ in scf/basis.py with the published "
+            "exponents."
         )
     return [(l, e.copy(), c.copy()) for l, e, c in _CCPVDZ[z]]
 

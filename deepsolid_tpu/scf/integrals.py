@@ -178,6 +178,79 @@ def nuclear_prim(la3, lb3, alpha, beta, a_pos, b_pos, c_pos, omega=None):
     return 2.0 * np.pi / p * out
 
 
+def eri_prim(la3, lb3, lc3, ld3, alpha, beta, gamma, delta,
+             a_pos, b_pos, c_pos, d_pos):
+    """Bare-Coulomb primitive ERI (ab|cd), chemists' notation, via
+    McMurchie-Davidson Hermite expansion on both pair densities.
+
+    Exponent/position arrays broadcast elementwise. Free-space kernel —
+    used by scf/molecular.py (validation harness); the periodic SCF uses
+    the range-separated engines in scf/eri.py instead.
+    """
+    p = alpha + beta
+    q = gamma + delta
+    ab = a_pos - b_pos
+    cd = c_pos - d_pos
+    P = (alpha[..., None] * a_pos + beta[..., None] * b_pos) / p[..., None]
+    Q = (gamma[..., None] * c_pos + delta[..., None] * d_pos) / q[..., None]
+    pq = P - Q
+    r2 = np.sum(pq * pq, axis=-1)
+    a_red = p * q / (p + q)
+
+    e_bra, e_ket = [], []
+    for d in range(3):
+        x = ab[..., d]
+        kab = np.exp(-(alpha * beta / p) * x * x)
+        e_bra.append(
+            e_coeffs(la3[d], lb3[d], p, -(beta / p) * x, (alpha / p) * x, kab)
+        )
+        y = cd[..., d]
+        kcd = np.exp(-(gamma * delta / q) * y * y)
+        e_ket.append(
+            e_coeffs(lc3[d], ld3[d], q, -(delta / q) * y, (gamma / q) * y, kcd)
+        )
+
+    tmax = sum(la3) + sum(lb3) + sum(lc3) + sum(ld3)
+    fns = lambda n: (-2.0 * a_red) ** n * boys(n, a_red * r2)
+    r = hermite_r(tmax, a_red, pq, fns)
+
+    out = 0.0
+    for t in range(la3[0] + lb3[0] + 1):
+        et = e_bra[0].get((la3[0], lb3[0], t))
+        if et is None:
+            continue
+        for u in range(la3[1] + lb3[1] + 1):
+            eu = e_bra[1].get((la3[1], lb3[1], u))
+            if eu is None:
+                continue
+            for v in range(la3[2] + lb3[2] + 1):
+                ev = e_bra[2].get((la3[2], lb3[2], v))
+                if ev is None:
+                    continue
+                bra = et * eu * ev
+                for tt in range(lc3[0] + ld3[0] + 1):
+                    ft = e_ket[0].get((lc3[0], ld3[0], tt))
+                    if ft is None:
+                        continue
+                    for uu in range(lc3[1] + ld3[1] + 1):
+                        fu = e_ket[1].get((lc3[1], ld3[1], uu))
+                        if fu is None:
+                            continue
+                        for vv in range(lc3[2] + ld3[2] + 1):
+                            fv = e_ket[2].get((lc3[2], ld3[2], vv))
+                            if fv is None:
+                                continue
+                            sign = (-1.0) ** (tt + uu + vv)
+                            out = out + bra * ft * fu * fv * sign * r[
+                                (t + tt, u + uu, v + vv)
+                            ]
+    return (
+        2.0 * np.pi**2.5
+        / (p * q * np.sqrt(p + q))
+        * out
+    )
+
+
 def pair_density_ft(la3, lb3, alpha, beta, a_pos, b_pos, g):
     """Fourier transform int chi_a(r) chi_b(r) e^{-i G. r} dr.
 
