@@ -78,7 +78,7 @@ def build(S=2, batch=1024, mode="forward", partition_number=None,
 
 
 def _rate(batch_el, params, data, batch, iters):
-    """Strictly sequential per-chip rate (+ total-FLOPs estimate).
+    """Strictly sequential per-chip rate.
 
     The shared-pool TPU runtime fans independent dispatches out across
     chips and its block_until_ready is unreliable, so the iterations run
@@ -102,17 +102,44 @@ def _rate(batch_el, params, data, batch, iters):
         )
         return c
 
-    lowered = run.lower(params, data)
-    compiled = lowered.compile()
-    try:
-        flops = float(compiled.cost_analysis()["flops"])
-    except Exception:
-        flops = float("nan")
-    float(np.asarray(compiled(params, data)))  # warmup
+    float(np.asarray(run(params, data)))  # compile + warmup
     t0 = time.perf_counter()
-    float(np.asarray(compiled(params, data + 1e-5)))
+    float(np.asarray(run(params, data + 1e-5)))
     dt = time.perf_counter() - t0
-    return batch * iters / dt, flops / dt
+    return batch * iters / dt
+
+
+def flops_per_walker(mode, chunk=32):
+    """HLO-level FLOPs of one local-energy eval, counted by lowering a
+    single walker chunk on the CPU backend in a subprocess (the remote
+    TPU backend's cost analysis is unreliable; the HLO count is
+    backend-independent)."""
+    import subprocess
+
+    code = (
+        "import sys; sys.path.insert(0, '.');\n"
+        "import jax, bench\n"
+        f"p, d, f, sc = bench.build(S=2, batch={chunk}, mode={mode!r}, "
+        "el_chunk=0)\n"
+        "fl = f.lower(p, d).cost_analysis()['flops']\n"
+        f"print('FLOPS', fl / {chunk})\n"
+    )
+    import os
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True,
+            text=True, timeout=600,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("FLOPS"):
+                return float(line.split()[1])
+    except Exception:
+        pass
+    return float("nan")
 
 
 def main():
@@ -125,23 +152,30 @@ def main():
     # Measure BOTH engines back-to-back in the same window at the SAME
     # production batch (iso-batch, VERDICT r1 #7).
     batch = 1024
-    fwd = build(S=2, batch=batch, mode="forward", el_chunk=64)
+    fwd_chunk = 32
+    fwd = build(S=2, batch=batch, mode="forward", el_chunk=fwd_chunk)
     part = build(S=2, batch=batch, mode="partition", el_chunk=16)
-    evals_per_sec, flops_per_sec = _rate(fwd[2], fwd[0], fwd[1], batch, 3)
-    base, _ = _rate(part[2], part[0], part[1], batch, 1)
+    evals_per_sec = _rate(fwd[2], fwd[0], fwd[1], batch, 3)
+    base = _rate(part[2], part[0], part[1], batch, 1)
+    # chunk=8 keeps the CPU trace/lower cheap; flops-per-walker is
+    # chunk-independent
+    flops_per_sec = flops_per_walker("forward", 8) * evals_per_sec
     mfu = flops_per_sec / PEAK_FLOPS_BF16
     print(
         json.dumps(
             {
                 "metric": "local_energy_evals_per_sec_per_chip "
                           "(C-diamond 2x2x2, 96e, full-size net, "
-                          "production batch 1024 w/ el_chunk=64; "
+                          f"production batch {batch} w/ "
+                          f"el_chunk={fwd_chunk}, full-f32 matmuls; "
                           "vs_baseline = live ISO-BATCH ratio over the "
                           "reference-style partition engine)",
                 "value": round(evals_per_sec, 3),
                 "unit": "walkers/s",
                 "vs_baseline": round(evals_per_sec / base, 3),
                 "tflops_per_sec": round(flops_per_sec / 1e12, 3),
+                # HLO flops over bf16 peak: understates true MFU because
+                # each f32 'highest' matmul flop costs ~6 bf16 MXU passes
                 "mfu_vs_bf16_peak": round(mfu, 4),
             }
         )
