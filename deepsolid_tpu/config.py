@@ -23,10 +23,13 @@ def default() -> ml_collections.ConfigDict:
             "precision": "float32",  # 'float32' | 'float64'
             # MXU matmul passes for float32 arrays: 'highest' (6-pass bf16,
             # full f32 accuracy — parity with the reference's A100 fp32),
-            # 'tensorfloat32' (3-pass), or 'default' (1-pass bf16 — FAST but
-            # demonstrably corrupts VMC training: on H10 the pretrained
-            # wavefunction's kinetic energy came out 8x too high and KFAC
-            # ascended; see round-2 notes)
+            # 'tensorfloat32' (3-pass), or 'default' (1-pass bf16).
+            # Measured per-walker kinetic error vs 'highest' on equilibrated
+            # H10 walkers (r=1.8, cc-pVDZ-pretrained net): 'default' biases
+            # by +0.200 Ha/atom (training diverges — the round-1/round-2
+            # H10 stall root cause), 'tensorfloat32' by -0.0037 Ha/atom
+            # (still 37x the 1e-4 accuracy target). Only 'highest' is
+            # production-safe.
             "matmul_precision": "highest",
             "optim": {
                 "iterations": 1000000,

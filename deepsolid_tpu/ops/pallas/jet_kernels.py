@@ -39,7 +39,8 @@ def _kernel(val_ref, lap_ref, jac_ref, w_ref, b_ref,
 
     @pl.when(tk == 0)
     def _():
-        z = jnp.dot(val_ref[:], w, preferred_element_type=jnp.float32)
+        z = jnp.dot(val_ref[:], w, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         z = z + b_ref[:]
         t = jnp.tanh(z)
         t_scr_ref[:] = t
@@ -54,13 +55,15 @@ def _kernel(val_ref, lap_ref, jac_ref, w_ref, b_ref,
         jac_ref[:], w,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (bt, bn, bc)
     jac_o_ref[:] = (d[None] * yj).astype(jac_o_ref.dtype)
     acc_ref[:] += jnp.sum(yj * yj, axis=0)
 
     @pl.when(tk == n_tk - 1)
     def _():
-        yl = jnp.dot(lap_ref[:], w, preferred_element_type=jnp.float32)
+        yl = jnp.dot(lap_ref[:], w, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         out = d * yl + (-2.0 * t * d) * acc_ref[:]
         lap_o_ref[:] = out.astype(lap_o_ref.dtype)
 
@@ -78,7 +81,8 @@ def _kernel_partial(val_ref, lap_ref, jac_ref, w_ref, b_ref,
 
     @pl.when(tk == 0)
     def _():
-        z = jnp.dot(val_ref[:], w, preferred_element_type=jnp.float32)
+        z = jnp.dot(val_ref[:], w, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         z = z + b_ref[:]
         t = jnp.tanh(z)
         t_scr_ref[:] = t
@@ -92,13 +96,15 @@ def _kernel_partial(val_ref, lap_ref, jac_ref, w_ref, b_ref,
         jac_ref[:], w,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (bt, bn, bc)
     jac_o_ref[:] = (d[None] * yj).astype(jac_o_ref.dtype)
     acc_ref[:] += jnp.sum(yj * yj, axis=0)
 
     @pl.when(tk == n_tk - 1)
     def _():
-        yl = jnp.dot(lap_ref[:], w, preferred_element_type=jnp.float32)
+        yl = jnp.dot(lap_ref[:], w, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         lap_o_ref[:] = (d * yl).astype(lap_o_ref.dtype)
         s_o_ref[:] = acc_ref[:].astype(s_o_ref.dtype)
 

@@ -452,7 +452,7 @@ class KfacOptimizer:
             mesh=mesh,
             in_specs=(P(), P(DATA_AXIS), P(), P(), P()),
             out_specs=(P(), P(DATA_AXIS), P(), P(),
-                       (P(), P(DATA_AXIS), P(), P(), P())),
+                       (P(), P(DATA_AXIS), P(), P(), P(), P())),
             check_vma=False,
         )
         def train_step(params, data, state, key, width):
@@ -477,6 +477,7 @@ class KfacOptimizer:
                 aux.variance,
                 aux.imaginary,
                 pmean_if_axis(jnp.mean(aux.kinetic.real)),
+                pmean_if_axis(jnp.mean(aux.finite)),
             )
             return params, data, state, pmove, stats
 

@@ -278,8 +278,8 @@ def process(cfg, max_iterations: Optional[int] = None):
             opt = optax.MultiSteps(opt, every_k_schedule=cfg.optim.ministeps)
         return opt
 
-    # stats = (loss, local_energy, variance, imaginary, kinetic)
-    aux_out_specs = (P(), P(DATA_AXIS), P(), P(), P())
+    # stats = (loss, local_energy, variance, imaginary, kinetic, finite)
+    aux_out_specs = (P(), P(DATA_AXIS), P(), P(), P(), P())
 
     if optimizer_name == "adam":
         optimizer = adam_optimizer()
@@ -310,6 +310,7 @@ def process(cfg, max_iterations: Optional[int] = None):
                 aux.variance,
                 aux.imaginary,
                 pmean_if_axis(jnp.mean(aux.kinetic.real)),
+                pmean_if_axis(jnp.mean(aux.finite)),
             )
             return params, data, opt_state, pmove, stats
 
@@ -343,6 +344,7 @@ def process(cfg, max_iterations: Optional[int] = None):
                 aux.variance,
                 aux.imaginary,
                 pmean_if_axis(jnp.mean(aux.kinetic.real)),
+                pmean_if_axis(jnp.mean(aux.finite)),
             )
             return params, data, opt_state, pmove, stats
 
@@ -368,6 +370,7 @@ def process(cfg, max_iterations: Optional[int] = None):
     # ---------------- observables / logging ---------------------------------
     train_schema = [
         "energy", "variance", "pmove", "imaginary", "kinetic", "ewald",
+        "nonfinite",
     ]
     polarization_fn = structure_factor_fn = None
     if cfg.log.complex_polarization:
@@ -414,7 +417,7 @@ def process(cfg, max_iterations: Optional[int] = None):
             params, data, opt_state, pmove, stats = train_step(
                 params, data, opt_state, subkey, mcmc_width
             )
-            loss, e_l, variance, imaginary, kinetic = stats
+            loss, e_l, variance, imaginary, kinetic, finite_frac = stats
 
             if cfg.debug.check_nan:
                 flat = jax.tree_util.tree_leaves((params, loss))
@@ -426,6 +429,14 @@ def process(cfg, max_iterations: Optional[int] = None):
                     continue
 
             pmove_val = float(pmove)
+            nonfinite = 1.0 - float(finite_frac)
+            if nonfinite > 0.01:
+                # failure containment engaged on >1% of walkers — the
+                # masked loss keeps training, but the user should know
+                logging.warning(
+                    "Step %d: %.1f%% of walkers had non-finite local "
+                    "energies (masked out)", t, 100.0 * nonfinite,
+                )
             if t % cfg.log.stats_frequency == 0:
                 loss_val = float(loss) / scale
                 var_val = float(variance.real) / scale**2
@@ -445,6 +456,7 @@ def process(cfg, max_iterations: Optional[int] = None):
                     "imaginary": imag_val,
                     "kinetic": kin_val,
                     "ewald": ewald_val,
+                    "nonfinite": nonfinite,
                 }
                 if polarization_fn is not None:
                     row["complex_polarization"] = complex(

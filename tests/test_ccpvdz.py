@@ -72,7 +72,7 @@ def test_unknown_basis_raises():
     with pytest.raises(NotImplementedError):
         basis_lib.build_shells(cell, "cc-pvtz")
     with pytest.raises(NotImplementedError):
-        basis_lib.ccpvdz_shells_for_atom(8)  # O not tabulated
+        basis_lib.ccpvdz_shells_for_atom(9)  # F not tabulated
 
 
 def test_unknown_basis_is_hard_error_in_pretrain_source():
