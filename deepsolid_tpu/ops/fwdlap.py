@@ -324,7 +324,14 @@ def slogdet_jet(mat: Jet, axis_name=None) -> Tuple[jnp.ndarray, Jet]:
     sign, logdet = jnp.linalg.slogdet(a)
 
     solve = functools.partial(jax.scipy.linalg.lu_solve, (lu, piv))
-    b = jax.vmap(solve)(mat.jac)  # (T, ..., n, n) = A^-1 J_t
+    # Explicit inverse (one LU solve on the identity), then the T
+    # per-tangent products A^-1 J_t ride the MXU as batched matmuls —
+    # T triangular solves would serialize on TPU. Same LU, same
+    # conditioning; one extra matmul rounding, negligible at full-f32
+    # precision.
+    n = a.shape[-1]
+    a_inv = solve(jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape))
+    b = a_inv[None] @ mat.jac  # (T, ..., n, n) = A^-1 J_t
     jac = jnp.trace(b, axis1=-2, axis2=-1)  # (T, ...)
     lap1 = jnp.trace(solve(mat.lap), axis1=-2, axis2=-1)
     lap2 = _tsum(jnp.sum(b * jnp.swapaxes(b, -1, -2), axis=(-1, -2)), axis_name)
