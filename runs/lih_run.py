@@ -11,7 +11,7 @@ sys.path.insert(0, "/root/repo")
 from deepsolid_tpu.configs import rock_salt
 from deepsolid_tpu.train import process
 
-cfg = rock_salt.get_config("Li,H,4.02,2,ccpvdz")
+cfg = rock_salt.get_config("Li,H,4.02,2,sto-3g")
 cfg.batch_size = 2048
 cfg.precision = "float32"
 cfg.optim.optimizer = "kfac"
