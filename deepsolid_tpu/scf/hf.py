@@ -575,6 +575,80 @@ def run_uhf(sc: Supercell, shells, kpts, beta: float = None,
     )
 
 
+def _uhf_cache_path(sc: Supercell, basis: str, kpts: np.ndarray) -> str:
+    """Content-keyed cache file for a converged periodic UHF solution.
+
+    A multi-k SR-ERI build costs minutes; training restarts re-enter
+    ScfOrbitals.build just to recover the k-list and pretraining targets,
+    so the (eps, C) solution is cached on disk. Override the location
+    with DEEPSOLID_TPU_SCF_CACHE; set it empty to disable."""
+    import hashlib
+    import os
+
+    root = os.environ.get(
+        "DEEPSOLID_TPU_SCF_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "deepsolid_tpu",
+                     "scf"),
+    )
+    if not root:
+        return ""
+    prim = sc.prim
+    h = hashlib.sha256()
+    for arr in (
+        np.asarray(prim.lattice, np.float64),
+        np.asarray(prim.atom_coords, np.float64),
+        np.asarray(sc.lattice, np.float64),
+        np.asarray(kpts, np.float64).round(12),
+        np.asarray(sc.nelec, np.int64),
+    ):
+        h.update(np.ascontiguousarray(arr).tobytes())
+    h.update(",".join(prim.atom_symbols).encode())
+    h.update(basis.lower().encode())
+    return os.path.join(root, f"uhf_{h.hexdigest()[:24]}.npz")
+
+
+def run_uhf_cached(sc: Supercell, shells, kpts,
+                   basis: str) -> "MeanField":
+    """run_uhf with a content-addressed disk cache of (eps, C)."""
+    import os
+
+    path = _uhf_cache_path(sc, basis, kpts)
+    if path and os.path.exists(path):
+        try:
+            with np.load(path) as f:
+                nk = int(f["nk"])
+                eps = tuple(
+                    [f[f"eps_{s}_{k}"] for k in range(nk)] for s in range(2)
+                )
+                c = tuple(
+                    [f[f"c_{s}_{k}"] for k in range(nk)] for s in range(2)
+                )
+                return MeanField(
+                    e_tot=float(f["e_tot"]),
+                    converged=bool(f["converged"]),
+                    eps=eps, c=c, n_cycles=0,
+                )
+        except Exception:
+            pass  # corrupt cache entry: recompute
+    mf = run_uhf(sc, shells, kpts)
+    if path:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        payload = {
+            "nk": np.asarray(len(mf.eps[0])),
+            "e_tot": np.asarray(mf.e_tot),
+            "converged": np.asarray(mf.converged),
+        }
+        for s in range(2):
+            for k, (e_arr, c_arr) in enumerate(zip(mf.eps[s], mf.c[s])):
+                payload[f"eps_{s}_{k}"] = np.asarray(e_arr)
+                payload[f"c_{s}_{k}"] = np.asarray(c_arr)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **payload)
+        os.replace(tmp, path)
+    return mf
+
+
 def _solve_bands(h_k, s_k, lindep: float = 1e-8):
     """Generalized eigenproblem per k with canonical orthogonalization."""
     eps_all, c_all = [], []
@@ -610,7 +684,7 @@ class ScfOrbitals:
         shells = basis_lib.build_shells(prim, basis)
         kpts = twisted_kpts(sc, twist)
         if level == "hf":
-            mf = run_uhf(sc, shells, kpts)
+            mf = run_uhf_cached(sc, shells, kpts, basis)
             eps_spin = mf.eps
             c_spin = mf.c
         elif level == "core":

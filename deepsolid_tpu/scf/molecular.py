@@ -137,10 +137,15 @@ def run_uhf_molecular(
     max_iter: int = 100,
     tol: float = 1e-9,
     lindep: float = 1e-9,
+    eri: np.ndarray = None,
 ) -> Tuple[float, List[np.ndarray], List[np.ndarray]]:
-    """Free-space UHF. Returns (E_total, [eps_a, eps_b], [C_a, C_b])."""
+    """Free-space UHF. Returns (E_total, [eps_a, eps_b], [C_a, C_b]).
+
+    `eri` optionally supplies a precomputed (nao,)*4 chemists' tensor
+    (e.g. the vectorized one-center builder in scf/etdz.py)."""
     S, T, V = one_electron_matrices(shells, nuclei)
-    eri = eri_tensor(shells)
+    if eri is None:
+        eri = eri_tensor(shells)
     hcore = T + V
 
     # canonical orthogonalization with linear-dependence pruning

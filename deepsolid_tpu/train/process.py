@@ -229,6 +229,14 @@ def process(cfg, max_iterations: Optional[int] = None):
             min_damping=cfg.optim.kfac.min_damping,
             momentum=cfg.optim.kfac.momentum,
             l2_reg=cfg.optim.kfac.l2_reg,
+            adaptive_damping=cfg.optim.kfac.get("adaptive_damping", False),
+            damping_adaptation_interval=cfg.optim.kfac.get(
+                "damping_adaptation_interval", 5
+            ),
+            damping_adaptation_decay=cfg.optim.kfac.get(
+                "damping_adaptation_decay", 0.9
+            ),
+            max_damping=cfg.optim.kfac.get("max_damping", 1.0),
         )
 
     total_energy = make_loss(
@@ -317,9 +325,13 @@ def process(cfg, max_iterations: Optional[int] = None):
     elif optimizer_name == "kfac":
         opt_state = kfac_optimizer.init(params, data, mesh)
         if opt_state_ckpt is not None:
-            opt_state = jax.device_put(opt_state_ckpt, repl_sharding)
+            # top-level merge so checkpoints written before a state-schema
+            # extension (e.g. the adaptive-damping fields) stay restorable
+            opt_state = jax.device_put(
+                {**opt_state, **dict(opt_state_ckpt)}, repl_sharding
+            )
         train_step = kfac_optimizer.make_train_step(
-            mesh, mcmc_step, val_and_grad
+            mesh, mcmc_step, val_and_grad, loss_fn=total_energy
         )
 
     elif optimizer_name == "none":
@@ -372,6 +384,12 @@ def process(cfg, max_iterations: Optional[int] = None):
         "energy", "variance", "pmove", "imaginary", "kinetic", "ewald",
         "nonfinite",
     ]
+    log_damping = (
+        optimizer_name == "kfac"
+        and cfg.optim.kfac.get("adaptive_damping", False)
+    )
+    if log_damping:
+        train_schema.append("damping")
     polarization_fn = structure_factor_fn = None
     if cfg.log.complex_polarization:
         train_schema.append("complex_polarization")
@@ -417,7 +435,8 @@ def process(cfg, max_iterations: Optional[int] = None):
             params, data, opt_state, pmove, stats = train_step(
                 params, data, opt_state, subkey, mcmc_width
             )
-            loss, e_l, variance, imaginary, kinetic, finite_frac = stats
+            loss, e_l, variance, imaginary, kinetic, finite_frac, *extra = stats
+            damping_val = float(extra[0]) if extra else None
 
             if cfg.debug.check_nan:
                 flat = jax.tree_util.tree_leaves((params, loss))
@@ -458,6 +477,8 @@ def process(cfg, max_iterations: Optional[int] = None):
                     "ewald": ewald_val,
                     "nonfinite": nonfinite,
                 }
+                if log_damping:
+                    row["damping"] = damping_val
                 if polarization_fn is not None:
                     row["complex_polarization"] = complex(
                         polarization_fn(data)

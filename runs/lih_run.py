@@ -23,6 +23,9 @@ cfg.mcmc.steps = 20
 cfg.pretrain.method = "net"
 cfg.pretrain.scf = "hf"
 cfg.pretrain.iterations = 1000
+# round 3: LM adaptive damping (VERDICT item 7); ~10% step overhead
+cfg.optim.kfac.adaptive_damping = True
+cfg.optim.kfac.damping_adaptation_interval = 10
 cfg.log.save_path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/runs/lih_r1"
 cfg.log.save_frequency = 15.0
 cfg.log.stats_frequency = 10

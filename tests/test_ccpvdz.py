@@ -89,6 +89,7 @@ def test_unknown_basis_is_hard_error_in_pretrain_source():
         pretrain_lib.make_orbital_source(cfg, sc)
 
 
+@pytest.mark.slow
 def test_diamond_ccpvdz_native_scf_band_count():
     """configs/diamond.py with ccpvdz runs the native SCF orbital source
     end-to-end; band count per spin equals the electron count (VERDICT #3)."""

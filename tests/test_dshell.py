@@ -17,6 +17,8 @@ from deepsolid_tpu.scf.gto import PeriodicAOEvaluator
 from deepsolid_tpu.scf.integrals import CART
 from deepsolid_tpu.system import Atom, Cell, make_supercell
 
+pytestmark = pytest.mark.slow  # grid-oracle module: minutes-scale
+
 L = 9.0
 
 

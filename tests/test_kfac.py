@@ -196,6 +196,107 @@ def test_envelope_kronecker_block_matches_explicit_fisher():
     np.testing.assert_allclose(f_kron, f_exact, rtol=1e-8, atol=1e-12)
 
 
+def _random_grads(params, seed=5):
+    key = jax.random.PRNGKey(seed)
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    return jax.tree_util.tree_unflatten(
+        treedef,
+        [jax.random.normal(jax.random.fold_in(key, i), l.shape, l.dtype)
+         for i, l in enumerate(leaves)],
+    )
+
+
+def test_fisher_quadratic_nonnegative():
+    """v^T F v >= 0 for the block-approximate Fisher (it is a sum of PSD
+    Kronecker/diagonal blocks)."""
+    sc, net, params, data, opt = small_setup()
+    state = opt.init(params, data)
+    state = opt.update_curvature(state, params, data)
+    for seed in (1, 2, 3):
+        v = _random_grads(params, seed)
+        q = float(opt.fisher_quadratic(state, params, v))
+        assert np.isfinite(q) and q >= 0.0, q
+
+
+def test_adaptive_damping_rho_rule():
+    """LM rule: rho=1 (perfect model) shrinks damping by decay^interval,
+    rho=0 (no actual progress) grows it; clamped to [min, max]."""
+    sc, net, params, data, _ = small_setup()
+    opt = KfacOptimizer(
+        network=net, learning_rate_schedule=lambda t: 0.05, damping=1e-3,
+        adaptive_damping=True, damping_adaptation_interval=5,
+        damping_adaptation_decay=0.9, min_damping=1e-6, max_damping=1.0,
+    )
+    state = opt.init(params, data)
+    state = opt.update_curvature(state, params, data)
+    grads = _random_grads(params)
+    delta = jax.tree_util.tree_map(lambda g: -1e-3 * g, grads)
+    new_params = jax.tree_util.tree_map(jnp.add, params, delta)
+
+    def inner(a, b):
+        return sum(
+            jnp.sum(x * y)
+            for x, y in zip(jax.tree_util.tree_leaves(a),
+                            jax.tree_util.tree_leaves(b))
+        )
+
+    quad = float(
+        inner(grads, delta)
+        + 0.5 * opt.fisher_quadratic(state, new_params, delta)
+        + 0.5 * state["damping"] * inner(delta, delta)
+    )
+    assert quad < 0.0  # descent direction: model predicts a decrease
+    omega = opt.damping_adaptation_decay ** opt.damping_adaptation_interval
+
+    # rho = 1: actual change equals predicted -> damping shrinks
+    st = opt.adapt_damping(state, params, new_params, grads, 0.0, quad)
+    np.testing.assert_allclose(float(st["rho"]), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(st["damping"]), float(state["damping"]) * omega, rtol=1e-6
+    )
+    # rho = 0: no actual progress -> damping grows
+    st = opt.adapt_damping(state, params, new_params, grads, 0.0, 0.0)
+    np.testing.assert_allclose(float(st["rho"]), 0.0, atol=1e-9)
+    np.testing.assert_allclose(
+        float(st["damping"]), float(state["damping"]) / omega, rtol=1e-6
+    )
+    # degenerate quad >= 0 is treated as rho = -1 -> damping grows
+    st2 = opt.adapt_damping(state, params, params, grads, 0.0, 0.0)
+    np.testing.assert_allclose(float(st2["rho"]), -1.0, atol=1e-9)
+    # clamping
+    opt_hi = KfacOptimizer(
+        network=net, learning_rate_schedule=lambda t: 0.05, damping=1e-3,
+        adaptive_damping=True, min_damping=9e-4, max_damping=1.1e-3,
+    )
+    st = opt_hi.adapt_damping(state, params, new_params, grads, 0.0, quad)
+    assert float(st["damping"]) >= 9e-4 - 1e-12
+
+
+def test_kfac_e2e_adaptive_damping():
+    """Training with adaptive damping runs end-to-end and logs a damping
+    trajectory that actually moves."""
+    import os
+    import tempfile
+
+    from deepsolid_tpu.train import process
+    from test_train_e2e import small_cfg
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        cfg = small_cfg(tmpdir, "kfac", iterations=12)
+        cfg.optim.kfac.adaptive_damping = True
+        cfg.optim.kfac.damping_adaptation_interval = 2
+        params, data, energy = process.process(cfg)
+        assert np.isfinite(energy)
+        csv = os.path.join(tmpdir, "train_stats.csv")
+        header = open(csv).readline().strip().split(",")
+        assert "damping" in header
+        col = header.index("damping")
+        rows = [l.split(",") for l in open(csv).read().strip().split("\n")[1:]]
+        dampings = np.array([float(r[col]) for r in rows])
+        assert np.all(np.isfinite(dampings))
+        assert dampings.min() != dampings.max()  # the LM rule engaged
+
+
 def test_kfac_e2e_full_envelope_smoke():
     """The KFAC step runs end-to-end with envelope_type='full' (the
     env Kronecker blocks flow through curvature, inverse, precondition)."""

@@ -52,6 +52,7 @@ def test_analytic_laplacian(mode):
     np.testing.assert_allclose(complex(got), want, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_modes_agree_on_network():
     from deepsolid_tpu.models.network import NetworkConfig, make_network
     from deepsolid_tpu.sampling.init import init_electrons

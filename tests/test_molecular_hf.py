@@ -42,6 +42,7 @@ def test_h_atom_ccpvdz():
     assert abs(e - (-0.499278)) < 2e-5, e
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize(
     "sym,z,nelec,e_pub",
     [

@@ -31,6 +31,7 @@ def test_native_matches_numpy_sp():
     np.testing.assert_allclose(a[1], b[1], rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_native_matches_numpy_d_shells():
     L = 9.0
     cell = Cell.from_atoms(

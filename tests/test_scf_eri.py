@@ -104,6 +104,7 @@ def test_jk_hermitian(h2_gamma):
     np.testing.assert_allclose(k, k.conj().transpose(0, 2, 1), atol=1e-9)
 
 
+@pytest.mark.slow
 def test_exchange_multi_k_beta_independence():
     """Mixed-k exchange (B-translation phases) must also be split-invariant."""
     sc, shells = setup_h2(L=10.0)
@@ -115,6 +116,7 @@ def test_exchange_multi_k_beta_independence():
     np.testing.assert_allclose(k1, k2, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_h2_uhf_molecular_limit():
     """Periodic UHF -> molecular RHF/STO-3G as the box grows.
 
@@ -154,6 +156,7 @@ def test_h_atom_uhf_molecular_limit():
     assert abs(mf.e_tot - (-0.4665817)) < 2e-3, mf.e_tot
 
 
+@pytest.mark.slow
 def test_scforbitals_hf_level():
     """ScfOrbitals(level='hf') produces a usable orbital source."""
     cell = Cell.from_atoms(

@@ -15,6 +15,8 @@ from deepsolid_tpu.scf.basis import build_shells, primitive_norm
 from deepsolid_tpu.scf.free_electron import twisted_kpts
 from deepsolid_tpu.system import Atom, Cell, make_supercell
 
+pytestmark = pytest.mark.slow  # grid-oracle module: minutes-scale
+
 
 def setup_h2(L=6.0):
     cell = Cell.from_atoms(
