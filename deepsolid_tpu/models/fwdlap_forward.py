@@ -120,13 +120,26 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig,
     ranges = _channel_ranges(spins)
 
     # ---- symmetric feature mixing ---------------------------------------------
-    def symmetric(h1: fl.Jet, h2: fl.Jet) -> fl.Jet:
-        parts = [h1]
+    # Split representation: the concat [h1 | mean_ch(h1) | mean_ch(h2)] is
+    # kept as a ROW-VARYING jet (h1 + pair means) and a ROW-CONSTANT jet
+    # (the per-channel h1 means, identical for every electron row). The
+    # row-constant block enters dense layers at (T, 1, f) cost instead of
+    # riding the (T, n, f) jac matmul — the mean columns are ~60% of the
+    # mixed width at trunk/orbital layers, so this cuts the dominant MXU
+    # and HBM cost of the forward-Laplacian pass by ~2x (ROADMAP item 6).
+    # W rows are ordered [h1 | means | pair means] (models/network.py
+    # construct_symmetric_features), so w splits into
+    #   w_rv = [w[:f1]; w[f1*(1+nch):]]   and   w_rc = w[f1 : f1*(1+nch)].
+    def symmetric_split(h1: fl.Jet, h2: fl.Jet):
+        rc_parts = []
         for (s, e) in ranges:
-            g = fl.mean_axis(fl.slice_axis(h1, 0, s, e), axis=0, keepdims=True)
-            parts.append(fl.tile_rows(g, n))
+            rc_parts.append(
+                fl.mean_axis(fl.slice_axis(h1, 0, s, e), axis=0,
+                             keepdims=True)
+            )
+        rv_parts = [h1]
         for (s, e) in ranges:
-            parts.append(
+            rv_parts.append(
                 fl.Jet(
                     val=jnp.mean(h2.val[s:e], axis=0),
                     jac=_slice_tangents(
@@ -135,7 +148,13 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig,
                     lap=jnp.mean(h2.lap[s:e], axis=0),
                 )
             )
-        return fl.concat(parts, axis=1)
+        return fl.concat(rv_parts, axis=1), fl.concat(rc_parts, axis=1)
+
+    def split_w(w, f1):
+        nch = len(ranges)
+        w_rv = jnp.concatenate([w[:f1], w[f1 * (1 + nch):]], axis=0)
+        w_rc = w[f1:f1 * (1 + nch)]
+        return w_rv, w_rc
 
     sqrt2 = jnp.sqrt(jnp.asarray(2.0, dtype))
 
@@ -146,25 +165,32 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig,
 
     n_double = len(params["double"])
     for i in range(n_double):
-        h_one_in = symmetric(h_one, h_two)
+        f1 = h_one.val.shape[-1]
+        h_rv, h_rc = symmetric_split(h_one, h_two)
         p1 = params["single"][i]
-        h_one_next = fl.dense_tanh(h_one_in, p1["w"], p1.get("b"),
-                                   axis_name=deriv_axis)
+        w_rv, w_rc = split_w(p1["w"], f1)
+        h_one_next = fl.dense_tanh_mix(h_rv, h_rc, w_rv, w_rc, p1.get("b"),
+                                       axis_name=deriv_axis)
         p2 = params["double"][i]
         h_two_next = fl.dense_tanh(h_two, p2["w"], p2.get("b"))
         h_one = residual(h_one, h_one_next)
         h_two = residual(h_two, h_two_next)
 
     if n_double != len(params["single"]):
-        h_one_in = symmetric(h_one, h_two)
+        f1 = h_one.val.shape[-1]
+        h_rv, h_rc = symmetric_split(h_one, h_two)
         p1 = params["single"][-1]
+        w_rv, w_rc = split_w(p1["w"], f1)
         h_one = residual(
             h_one,
-            fl.dense_tanh(h_one_in, p1["w"], p1.get("b"), axis_name=deriv_axis),
+            fl.dense_tanh_mix(h_rv, h_rc, w_rv, w_rc, p1.get("b"),
+                              axis_name=deriv_axis),
         )
-        h_to_orbitals = h_one
+        h_to_orbitals = (h_one, None, None)
     else:
-        h_to_orbitals = symmetric(h_one, h_two)
+        f1 = h_one.val.shape[-1]
+        h_rv, h_rc = symmetric_split(h_one, h_two)
+        h_to_orbitals = (h_rv, h_rc, f1)
 
     # ---- orbital heads ----------------------------------------------------------
     envelope_fn = envelopes_lib.ENVELOPES[cfg.envelope_type]
@@ -176,11 +202,20 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig,
     sign_total = None
     l_total = None
     channel_jets = []
+    h_orb_rv, h_orb_rc, f1_orb = h_to_orbitals
     for ch, (s, e) in enumerate(ranges):
         spin = e - s
-        h = fl.slice_axis(h_to_orbitals, 0, s, e)
-        raw = fl.dense(h, params["orbital"][ch]["w"],
-                       params["orbital"][ch].get("b"))
+        w_orb = params["orbital"][ch]["w"]
+        b_orb = params["orbital"][ch].get("b")
+        if h_orb_rc is None:
+            raw = fl.dense(fl.slice_axis(h_orb_rv, 0, s, e), w_orb, b_orb)
+        else:
+            # the row-constant mean block is unaffected by row slicing
+            w_rv, w_rc = split_w(w_orb, f1_orb)
+            raw = fl.dense_mix(
+                fl.slice_axis(h_orb_rv, 0, s, e), h_orb_rc, w_rv, w_rc,
+                b_orb,
+            )
         nparam = raw.val.shape[-1] // 2
         orb = fl.complexify(
             fl.slice_axis(raw, 1, 0, nparam),

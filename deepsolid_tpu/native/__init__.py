@@ -36,11 +36,17 @@ def _build(name: str = "sr_eri") -> str:
     if os.path.exists(out):
         return out
     tmp = tempfile.mktemp(suffix=".so", dir=cache)
-    subprocess.run(
-        ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", src, "-o", tmp],
-        check=True,
-        capture_output=True,
-    )
+    flags = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17"]
+    try:
+        subprocess.run(
+            flags + ["-fopenmp", src, "-o", tmp], check=True,
+            capture_output=True,
+        )
+    except subprocess.CalledProcessError:
+        # toolchains without OpenMP runtime: single-threaded build
+        subprocess.run(
+            flags + [src, "-o", tmp], check=True, capture_output=True,
+        )
     os.replace(tmp, out)
     return out
 
@@ -54,11 +60,19 @@ def load():
     try:
         lib = ctypes.CDLL(_build())
         d = ctypes.POINTER(ctypes.c_double)
+        i32 = ctypes.POINTER(ctypes.c_int32)
         lib.sr_eri_block.restype = ctypes.c_int
         lib.sr_eri_block.argtypes = [
             ctypes.c_int64, ctypes.c_int, ctypes.c_int, d, d, d, d, d, d,
             ctypes.c_int64, ctypes.c_int, ctypes.c_int, d, d, d, d, d, d,
             ctypes.c_int64, d, ctypes.c_int64, d,
+            ctypes.c_double, ctypes.c_double, d, d,
+        ]
+        lib.sr_eri_block2.restype = ctypes.c_int
+        lib.sr_eri_block2.argtypes = [
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, d, d, d, d, i32, d,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, d, d, d, d, i32, d,
+            ctypes.c_int64, d, i32, ctypes.c_int64, d, d,
             ctypes.c_double, ctypes.c_double, d, d,
         ]
         _LIB = lib

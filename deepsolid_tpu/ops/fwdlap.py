@@ -213,6 +213,64 @@ def dense_tanh(a: Jet, w, b, axis_name=None) -> Jet:
     )
 
 
+def dense_mix(a_rv: Jet, a_rc: Jet, w_rv, w_rc, b=None) -> Jet:
+    """y = x_rv @ w_rv + broadcast_rows(x_rc @ w_rc) (+ b).
+
+    `a_rc` is a ROW-CONSTANT jet (leading data axis of size 1, broadcast
+    over the rows of `a_rv`): its contraction costs (T, 1, f_rc) instead
+    of riding the full (T, n, f) jac matmul — the mean blocks of the
+    one-stream mixing are row-constant by construction (ROADMAP item 6).
+    """
+    val = a_rv.val @ w_rv + a_rc.val @ w_rc
+    if b is not None:
+        val = val + b
+    return Jet(
+        val,
+        a_rv.jac @ w_rv + a_rc.jac @ w_rc,
+        a_rv.lap @ w_rv + a_rc.lap @ w_rc,
+    )
+
+
+def dense_tanh_mix(a_rv: Jet, a_rc: Jet, w_rv, w_rc, b, axis_name=None) -> Jet:
+    """tanh(dense_mix(.)) jet rule; Pallas mix kernel on TPU/f32.
+
+    Same semantics as dense_tanh on the concatenation of (a_rv, tiled
+    a_rc) with w rows stacked [w_rv; w_rc], without ever materializing
+    the tiled row-constant block."""
+    if b is None or not _use_fused(a_rv, w_rv):
+        return tanh(dense_mix(a_rv, a_rc, w_rv, w_rc, b), axis_name)
+    from deepsolid_tpu.ops.pallas.jet_kernels import (
+        fused_dense_tanh_jet_mix,
+        fused_dense_tanh_jet_mix_partial,
+    )
+
+    t_dim = a_rv.jac.shape[0]
+    lead = a_rv.val.shape[:-1]
+    d_in = a_rv.val.shape[-1]
+    d_out = w_rv.shape[-1]
+    val2 = a_rv.val.reshape(-1, d_in)
+    jac2 = a_rv.jac.reshape(t_dim, -1, d_in)
+    lap2 = a_rv.lap.reshape(-1, d_in)
+    # row-constant contractions (tiny: rows = 1)
+    zbc = (a_rc.val @ w_rc).reshape(-1)
+    lbc = (a_rc.lap @ w_rc).reshape(-1)
+    jbc = (a_rc.jac @ w_rc).reshape(t_dim, d_out)
+    if axis_name is None:
+        v, j, l = fused_dense_tanh_jet_mix(val2, jac2, lap2, zbc, lbc, jbc,
+                                           w_rv, b)
+    else:
+        v, j, lap_part, s_local = fused_dense_tanh_jet_mix_partial(
+            val2, jac2, lap2, zbc, lbc, jbc, w_rv, b
+        )
+        s = jax.lax.psum(s_local, axis_name)
+        l = lap_part + (-2.0 * v * (1.0 - v * v)) * s
+    return Jet(
+        v.reshape(lead + (d_out,)),
+        j.reshape((t_dim,) + lead + (d_out,)),
+        l.reshape(lead + (d_out,)),
+    )
+
+
 def exp(a: Jet, axis_name=None) -> Jet:
     e = jnp.exp(a.val)
     return Jet(e, e[None] * a.jac, e * (a.lap + _tsum(a.jac**2, axis_name)))

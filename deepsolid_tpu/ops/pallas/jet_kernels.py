@@ -278,3 +278,202 @@ def dense_tanh_jet_reference(val, jac, lap, w, b):
     d = 1.0 - t * t
     yj = jac @ w
     return t, d * yj, d * (lap @ w) + (-2.0 * t * d) * jnp.sum(yj * yj, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# mix variant: row-varying dense input + row-CONSTANT broadcast input
+# ---------------------------------------------------------------------------
+#
+# The one-stream mixing concatenates [h1 | mean_per_channel(h1) | pair
+# means]; the mean blocks are identical for every electron row, yet the
+# plain path tiles them to (T, n, f) and pushes them through the full
+# (T*n, f) @ (f, d_out) jac matmul — ~60% of the layer's MXU work and HBM
+# traffic multiplying row-constant data (ROADMAP item 6). Here the
+# row-constant block is pre-contracted OUTSIDE the kernel at (T, 1, f_rc)
+# cost and enters as per-tangent broadcast vectors:
+#     z   = val @ w + zbc + b
+#     yj  = jac @ w + jbc[t]            (broadcast over rows)
+#     yl  = lap @ w + lbc
+# with the tanh jet rule applied to the totals.
+
+
+def _kernel_mix(val_ref, lap_ref, jac_ref, w_ref, b_ref, zbc_ref, lbc_ref,
+                jbc_ref, val_o_ref, lap_o_ref, jac_o_ref, acc_ref,
+                t_scr_ref):
+    tk = pl.program_id(2)
+    n_tk = pl.num_programs(2)
+    w = w_ref[:]
+
+    @pl.when(tk == 0)
+    def _():
+        z = jnp.dot(val_ref[:], w, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        z = z + b_ref[:] + zbc_ref[:]
+        t = jnp.tanh(z)
+        t_scr_ref[:] = t
+        val_o_ref[:] = t.astype(val_o_ref.dtype)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    t = t_scr_ref[:]
+    d = 1.0 - t * t
+
+    yj = jax.lax.dot_general(
+        jac_ref[:], w,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (bt, bn, bc)
+    yj = yj + jbc_ref[:][:, None, :]
+    jac_o_ref[:] = (d[None] * yj).astype(jac_o_ref.dtype)
+    acc_ref[:] += jnp.sum(yj * yj, axis=0)
+
+    @pl.when(tk == n_tk - 1)
+    def _():
+        yl = jnp.dot(lap_ref[:], w, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        out = d * (yl + lbc_ref[:]) + (-2.0 * t * d) * acc_ref[:]
+        lap_o_ref[:] = out.astype(lap_o_ref.dtype)
+
+
+def _kernel_mix_partial(val_ref, lap_ref, jac_ref, w_ref, b_ref, zbc_ref,
+                        lbc_ref, jbc_ref, val_o_ref, lap_o_ref, jac_o_ref,
+                        s_o_ref, acc_ref, t_scr_ref):
+    """Mix kernel with the tangent-square reduction left open (sharded
+    tangent axis; see fused_dense_tanh_jet_partial)."""
+    tk = pl.program_id(2)
+    n_tk = pl.num_programs(2)
+    w = w_ref[:]
+
+    @pl.when(tk == 0)
+    def _():
+        z = jnp.dot(val_ref[:], w, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        z = z + b_ref[:] + zbc_ref[:]
+        t = jnp.tanh(z)
+        t_scr_ref[:] = t
+        val_o_ref[:] = t.astype(val_o_ref.dtype)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    t = t_scr_ref[:]
+    d = 1.0 - t * t
+
+    yj = jax.lax.dot_general(
+        jac_ref[:], w,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    yj = yj + jbc_ref[:][:, None, :]
+    jac_o_ref[:] = (d[None] * yj).astype(jac_o_ref.dtype)
+    acc_ref[:] += jnp.sum(yj * yj, axis=0)
+
+    @pl.when(tk == n_tk - 1)
+    def _():
+        yl = jnp.dot(lap_ref[:], w, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        lap_o_ref[:] = (d * (yl + lbc_ref[:])).astype(lap_o_ref.dtype)
+        s_o_ref[:] = acc_ref[:].astype(s_o_ref.dtype)
+
+
+def _fused_mix_call(kernel, n_outs, val, jac, lap, zbc, lbc, jbc, w, b,
+                    block_n, block_c, block_t):
+    t_dim, n, d_in = jac.shape
+    d_out = w.shape[1]
+    bn = min(block_n, _round_up(n, 8))
+    bc = min(block_c, _round_up(d_out, 128))
+    bt = min(block_t, t_dim)
+
+    n_pad = _round_up(n, bn)
+    c_pad = _round_up(d_out, bc)
+    k_pad = _round_up(d_in, 128)
+    t_pad = _round_up(t_dim, bt)
+
+    def pad(x, shape):
+        out = jnp.zeros(shape, x.dtype)
+        return out.at[tuple(slice(0, s) for s in x.shape)].set(x)
+
+    valp = pad(val, (n_pad, k_pad))
+    lapp = pad(lap, (n_pad, k_pad))
+    jacp = pad(jac, (t_pad, n_pad, k_pad))
+    wp = pad(w, (k_pad, c_pad))
+    bp = pad(b.reshape(1, -1), (1, c_pad))
+    zbcp = pad(zbc.reshape(1, -1), (1, c_pad))
+    lbcp = pad(lbc.reshape(1, -1), (1, c_pad))
+    jbcp = pad(jbc, (t_pad, c_pad))
+
+    grid = (n_pad // bn, c_pad // bc, t_pad // bt)
+    row_spec = pl.BlockSpec((bn, k_pad), lambda i, j, k: (i, 0),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, bc), lambda i, j, k: (0, j),
+                            memory_space=pltpu.VMEM)
+    nc_spec = pl.BlockSpec((bn, bc), lambda i, j, k: (i, j),
+                           memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            row_spec,
+            row_spec,
+            pl.BlockSpec((bt, bn, k_pad), lambda i, j, k: (k, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, bc), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+            vec_spec,
+            vec_spec,
+            vec_spec,
+            pl.BlockSpec((bt, bc), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[nc_spec, nc_spec,
+                   pl.BlockSpec((bt, bn, bc), lambda i, j, k: (k, i, j),
+                                memory_space=pltpu.VMEM)] +
+                  [nc_spec] * (n_outs - 3),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, c_pad), val.dtype),
+            jax.ShapeDtypeStruct((n_pad, c_pad), val.dtype),
+            jax.ShapeDtypeStruct((t_pad, n_pad, c_pad), val.dtype),
+        ] + [jax.ShapeDtypeStruct((n_pad, c_pad), val.dtype)] * (n_outs - 3),
+        scratch_shapes=[
+            pltpu.VMEM((bn, bc), jnp.float32),
+            pltpu.VMEM((bn, bc), jnp.float32),
+        ],
+    )(valp, lapp, jacp, wp, bp, zbcp, lbcp, jbcp)
+    return outs, (n, d_out, t_dim)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "block_c", "block_t")
+)
+def fused_dense_tanh_jet_mix(
+    val, jac, lap,       # row-varying parts: (n, d_in), (T, n, d_in), (n, d_in)
+    zbc, lbc, jbc,       # row-constant contractions: (d_out,), (d_out,), (T, d_out)
+    w, b,                # (d_in, d_out), (d_out,)
+    block_n: int = 64,
+    block_c: int = 128,
+    block_t: int = 8,
+):
+    """(val_out, jac_out, lap_out) of tanh(dense_rv(.) + broadcast(.))."""
+    (val_o, lap_o, jac_o), (n, d_out, t_dim) = _fused_mix_call(
+        _kernel_mix, 3, val, jac, lap, zbc, lbc, jbc, w, b,
+        block_n, block_c, block_t,
+    )
+    return val_o[:n, :d_out], jac_o[:t_dim, :n, :d_out], lap_o[:n, :d_out]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_n", "block_c", "block_t")
+)
+def fused_dense_tanh_jet_mix_partial(
+    val, jac, lap, zbc, lbc, jbc, w, b,
+    block_n: int = 64,
+    block_c: int = 128,
+    block_t: int = 8,
+):
+    """Mix kernel emitting (val_out, jac_out, lap_part, s_local) for a
+    device-sharded tangent axis (psum s before closing the lap)."""
+    (val_o, lap_o, jac_o, s_o), (n, d_out, t_dim) = _fused_mix_call(
+        _kernel_mix_partial, 4, val, jac, lap, zbc, lbc, jbc, w, b,
+        block_n, block_c, block_t,
+    )
+    return (val_o[:n, :d_out], jac_o[:t_dim, :n, :d_out],
+            lap_o[:n, :d_out], s_o[:n, :d_out])

@@ -224,9 +224,15 @@ def _pair_entries(shells, lattice, eps):
             def flat(a):
                 return np.ascontiguousarray(np.broadcast_to(a, shape)).reshape(-1)
 
+            A_rep = np.repeat(A, na * nb, axis=0)
             out.append(dict(
                 la=si.l, lb=sj.l, oi=offs[i], oj=offs[j],
-                A=np.repeat(A, na * nb, axis=0),
+                A=A_rep,
+                # integer lattice coordinates of A (exact: images are
+                # integer combinations) for the v2 native engine
+                iA=np.ascontiguousarray(
+                    np.round(A_rep @ np.linalg.inv(lattice)).astype(np.int32)
+                ),
                 p=flat(p), coef=flat(coef), w=flat(w),
                 P=np.ascontiguousarray(
                     np.broadcast_to(P, shape + (3,))).reshape(-1, 3),
@@ -374,10 +380,17 @@ def sr_eri_tensors(shells, lattice, kpts, beta, eps=1e-8,
     def dptr(a):
         return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
-    for bra in pairs:
+    for bi, bra in enumerate(pairs):
         c_b = bra["P"].mean(0)
         span_b = float(np.linalg.norm(bra["P"] - c_b, axis=1).max())
-        for ket in pairs:
+        for ki_, ket in enumerate(pairs):
+            # bra<->ket exchange symmetry: the swapped ordered block is a
+            # relabeling of this one (I real, B-set symmetric):
+            #   WJ'[k,K,c,d,a,b] = conj(WJ[K,k,a,b,c,d])
+            #   WK'[k,K,c,d,a,b] =      WK[K,k,a,b,c,d]
+            # so only ki_ >= bi is computed; both blocks are scattered.
+            if ki_ < bi:
+                continue
             c_k = ket["P"].mean(0)
             span_k = float(np.linalg.norm(ket["P"] - c_k, axis=1).max())
             al_min = (bra["p"].min() * ket["p"].min()) / (
@@ -407,50 +420,74 @@ def sr_eri_tensors(shells, lattice, kpts, beta, eps=1e-8,
                 wj_blk = np.zeros((nk, nk, nfa, nfb, nfc, nfd),
                                   np.complex128)
                 wk_blk = np.zeros_like(wj_blk)
-                ret = lib.sr_eri_block(
+                ibs = np.ascontiguousarray(
+                    np.round(bs @ inv_lat).astype(np.int32)
+                )
+                lat_c = np.ascontiguousarray(lattice, np.float64)
+
+                def iptr(a):
+                    return a.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int32)
+                    )
+
+                ret = lib.sr_eri_block2(
                     bra["p"].shape[0], bra["la"], bra["lb"],
                     dptr(bra["p"]), dptr(bra["coef"]), dptr(bra["w"]),
-                    dptr(bra["P"]), dptr(bra["A"]), dptr(_dense_e(bra)),
+                    dptr(bra["P"]), iptr(bra["iA"]), dptr(_dense_e(bra)),
                     ket["p"].shape[0], ket["la"], ket["lb"],
                     dptr(ket["p"]), dptr(ket["coef"]), dptr(ket["w"]),
-                    dptr(ket["P"]), dptr(ket["A"]), dptr(_dense_e(ket)),
-                    bs.shape[0], dptr(bs), nk, dptr(kpts),
-                    float(beta), float(eps),
+                    dptr(ket["P"]), iptr(ket["iA"]), dptr(_dense_e(ket)),
+                    bs.shape[0], dptr(bs), iptr(ibs), nk, dptr(kpts),
+                    dptr(lat_c), float(beta), float(eps),
                     dptr(wj_blk.view(np.float64)),
                     dptr(wk_blk.view(np.float64)),
                 )
                 if ret != 0:
-                    raise RuntimeError(f"native sr_eri_block failed: {ret}")
-                wj[:, :, oi:oi + nfa, oj:oj + nfb,
-                   ol:ol + nfc, os_:os_ + nfd] += wj_blk
-                wk[:, :, oi:oi + nfa, oj:oj + nfb,
-                   ol:ol + nfc, os_:os_ + nfd] += wk_blk
-                continue
+                    raise RuntimeError(f"native sr_eri_block2 failed: {ret}")
+            else:
+                # numpy fallback: accumulate the same block locally
+                wj_blk = np.zeros((nk, nk, nfa, nfb, nfc, nfd),
+                                  np.complex128)
+                wk_blk = np.zeros_like(wj_blk)
+                bra0 = {**bra, "oi": 0, "oj": 0}
+                ket0 = {**ket, "oi": 0, "oj": 0}
+                th2 = 1.0 / (
+                    1.0 / (bra["p"][:, None] * ket["p"][None, :]
+                           / (bra["p"][:, None] + ket["p"][None, :]))
+                    + 1.0 / beta**2
+                )
+                ww = bra["w"][:, None] * ket["w"][None, :]
+                n_b, n_k = ww.shape
+                cb_sz = max(1, mask_chunk // max(1, n_b * n_k))
+                for b0 in range(0, bs.shape[0], cb_sz):
+                    bc = bs[b0:b0 + cb_sz]
+                    diff = (
+                        bra["P"][:, None, None, :]
+                        - ket["P"][None, :, None, :]
+                        - bc[None, None, :, :]
+                    )
+                    r2 = np.sum(diff * diff, -1)
+                    keep = ww[..., None] * np.exp(-th2[..., None] * r2) > eps
+                    if not np.any(keep):
+                        continue
+                    ib, ik, ibv = np.nonzero(keep)
+                    _accumulate_quartet(
+                        wj_blk, wk_blk, bra0, ket0, ib, ik, bc[ibv], beta,
+                        kpts,
+                    )
 
-            # pairwise screen weight and range
-            th2 = 1.0 / (
-                1.0 / (bra["p"][:, None] * ket["p"][None, :]
-                       / (bra["p"][:, None] + ket["p"][None, :]))
-                + 1.0 / beta**2
-            )
-            ww = bra["w"][:, None] * ket["w"][None, :]
-            n_b, n_k = ww.shape
-            cb_sz = max(1, mask_chunk // max(1, n_b * n_k))
-            for b0 in range(0, bs.shape[0], cb_sz):
-                bc = bs[b0:b0 + cb_sz]
-                diff = (
-                    bra["P"][:, None, None, :]
-                    - ket["P"][None, :, None, :]
-                    - bc[None, None, :, :]
-                )
-                r2 = np.sum(diff * diff, -1)
-                keep = ww[..., None] * np.exp(-th2[..., None] * r2) > eps
-                if not np.any(keep):
-                    continue
-                ib, ik, ibv = np.nonzero(keep)
-                _accumulate_quartet(
-                    wj, wk, bra, ket, ib, ik, bc[ibv], beta, kpts
-                )
+            wj[:, :, oi:oi + nfa, oj:oj + nfb,
+               ol:ol + nfc, os_:os_ + nfd] += wj_blk
+            wk[:, :, oi:oi + nfa, oj:oj + nfb,
+               ol:ol + nfc, os_:os_ + nfd] += wk_blk
+            if ki_ > bi:
+                # swapped ordered block via the exchange relabeling
+                wj[:, :, ol:ol + nfc, os_:os_ + nfd,
+                   oi:oi + nfa, oj:oj + nfb] += np.conj(
+                       wj_blk.transpose(1, 0, 4, 5, 2, 3))
+                wk[:, :, ol:ol + nfc, os_:os_ + nfd,
+                   oi:oi + nfa, oj:oj + nfb] += wk_blk.transpose(
+                       1, 0, 4, 5, 2, 3)
     return wj, wk
 
 
