@@ -71,13 +71,21 @@ def mh_update(params, f, x1, key, lp_1, num_accepts, latvec, stddev,
         n = x1.shape[0]
         x1r = x1.reshape(n, -1, 1, 3)
         h1 = _harmonic_mean(x1r, atoms)
-        x2 = x1r + stddev * h1 * jax.random.normal(sub, x1r.shape, dtype=x1.dtype)
-        x2 = x2.reshape(n, -1)
-        x2, _ = enforce_pbc(latvec, x2)
+        x2_raw = x1r + stddev * h1 * jax.random.normal(
+            sub, x1r.shape, dtype=x1.dtype
+        )
+        x2, _ = enforce_pbc(latvec, x2_raw.reshape(n, -1))
         lp_2 = 2.0 * f(params, x2)
         h2 = _harmonic_mean(x2.reshape(n, -1, 1, 3), atoms)
-        lq_1 = _log_prob_gaussian(x1r, x2.reshape(n, -1, 1, 3), stddev * h1)
-        lq_2 = _log_prob_gaussian(x2.reshape(n, -1, 1, 3), x1r, stddev * h2)
+        # Both proposal densities are evaluated on the ACTUAL pre-wrap
+        # displacement. Using the wrapped x2 (as the reference does,
+        # qmc.py:197-212) breaks detailed balance on boundary-crossing
+        # moves: the |x2_wrapped - x1|^2 ~ L^2 exponent does not cancel
+        # between the h1- and h2-width densities, biasing the sampled
+        # distribution at ANY proposal width (caught by
+        # tests/test_mcmc_stationarity.py on an anisotropic target).
+        lq_1 = _log_prob_gaussian(x2_raw, x1r, stddev * h1)  # forward
+        lq_2 = _log_prob_gaussian(x2_raw, x1r, stddev * h2)  # reverse
         ratio = lp_2 + lq_2 - lp_1 - lq_1
 
     key, sub = jax.random.split(key)
