@@ -37,16 +37,21 @@ def _build(name: str = "sr_eri") -> str:
         return out
     tmp = tempfile.mktemp(suffix=".so", dir=cache)
     flags = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17"]
-    try:
-        subprocess.run(
-            flags + ["-fopenmp", src, "-o", tmp], check=True,
-            capture_output=True,
-        )
-    except subprocess.CalledProcessError:
-        # toolchains without OpenMP runtime: single-threaded build
-        subprocess.run(
-            flags + [src, "-o", tmp], check=True, capture_output=True,
-        )
+    # -march=native vectorizes the image-lane FMAs in the quartet
+    # contraction (AVX2/AVX-512); safe because the .so is built on (and
+    # cached per) the machine that runs it. Fall back for toolchains
+    # without OpenMP and/or -march support.
+    for extra in (["-march=native", "-fopenmp"], ["-fopenmp"],
+                  ["-march=native"], []):
+        try:
+            subprocess.run(
+                flags + extra + [src, "-o", tmp], check=True,
+                capture_output=True,
+            )
+            break
+        except subprocess.CalledProcessError:
+            if not extra:
+                raise
     os.replace(tmp, out)
     return out
 

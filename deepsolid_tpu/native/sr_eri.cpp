@@ -82,9 +82,13 @@ void boys(int nmax, double t, double* f) {
 void hermite_r(int tmax, const double* pc, const double* fns, double* out) {
     const int tm1 = tmax + 1;
     const int stride = tm1 * tm1;
-    // work[n][idx]: build from n = tmax down to 0
+    // work[n][idx]: build from n = tmax down to 0. Every entry read at
+    // level n was written at level n+1 in the SAME call (write guard
+    // n+s <= tmax covers all reads, which have (n+1)+(s-1) <= tmax), so
+    // the buffer never needs zeroing — only sizing.
     static thread_local std::vector<double> work;
-    work.assign((size_t)tm1 * tm1 * tm1 * tm1, 0.0);
+    const size_t need = (size_t)tm1 * tm1 * tm1 * tm1;
+    if (work.size() < need) work.resize(need, 0.0);
     auto w = [&](int n, int t, int u, int v) -> double& {
         return work[((size_t)n * tm1 * tm1 * tm1) + (size_t)t * stride +
                     (size_t)u * tm1 + v];
@@ -188,6 +192,101 @@ void contract_quartet(int la, int lb, int lc, int ld,
                         }
                     }
                     vals[q++] = pref * acc;
+                }
+            }
+        }
+    }
+}
+
+// Number of lattice images contracted together by the vectorized quartet
+// kernel. The Hermite E coefficients and the contraction prefactor are
+// image-independent, so processing IC images per pass amortizes the whole
+// E-product/sparsity machinery and turns the innermost accumulation into
+// stride-1 FMAs over the image lane (auto-vectorized: 2 AVX2 / 1 AVX-512
+// fma per Hermite term).
+constexpr int IC = 8;
+
+// vals[q*IC + m] = pref * sum_tuv E R_m for IC images at once.
+// rtab_v layout: [hermite_idx * IC + m]; unused lanes must be zero.
+void contract_quartet_multi(int la, int lb, int lc, int ld,
+                            const double* Eb, const double* Ek,
+                            const double* rtab_v, int tm1, double pref,
+                            double* vals) {
+    const int rstride = tm1 * tm1;
+    const int nfa = CART_N[la], nfb = CART_N[lb];
+    const int nfc = CART_N[lc], nfd = CART_N[ld];
+    const int eb_i = (lb + 1) * (la + lb + 1);
+    const int eb_j = (la + lb + 1);
+    const int eb_dim = (la + 1) * eb_i;
+    const int ek_i = (ld + 1) * (lc + ld + 1);
+    const int ek_j = (lc + ld + 1);
+    const int ek_dim = (lc + 1) * ek_i;
+    int q = 0;
+    for (int ia = 0; ia < nfa; ++ia) {
+        const int ax = CART_X[la][ia], ay = CART_Y[la][ia],
+                  az = CART_Z[la][ia];
+        for (int jb = 0; jb < nfb; ++jb) {
+            const int bx = CART_X[lb][jb], by = CART_Y[lb][jb],
+                      bz = CART_Z[lb][jb];
+            const double* ebx = Eb + 0 * eb_dim + ax * eb_i + bx * eb_j;
+            const double* eby = Eb + 1 * eb_dim + ay * eb_i + by * eb_j;
+            const double* ebz = Eb + 2 * eb_dim + az * eb_i + bz * eb_j;
+            for (int ic = 0; ic < nfc; ++ic) {
+                const int cx = CART_X[lc][ic], cy = CART_Y[lc][ic],
+                          cz = CART_Z[lc][ic];
+                for (int jd = 0; jd < nfd; ++jd) {
+                    const int dx = CART_X[ld][jd], dy = CART_Y[ld][jd],
+                              dz = CART_Z[ld][jd];
+                    const double* ekx =
+                        Ek + 0 * ek_dim + cx * ek_i + dx * ek_j;
+                    const double* eky =
+                        Ek + 1 * ek_dim + cy * ek_i + dy * ek_j;
+                    const double* ekz =
+                        Ek + 2 * ek_dim + cz * ek_i + dz * ek_j;
+                    double acc[IC] = {0.0};
+                    for (int t = 0; t <= ax + bx; ++t) {
+                        const double et = ebx[t];
+                        if (et == 0.0) continue;
+                        for (int u = 0; u <= ay + by; ++u) {
+                            const double eu = eby[u];
+                            if (eu == 0.0) continue;
+                            const double etu = et * eu;
+                            for (int v = 0; v <= az + bz; ++v) {
+                                const double ev = ebz[v];
+                                if (ev == 0.0) continue;
+                                const double e_b3 = etu * ev;
+                                for (int tt = 0; tt <= cx + dx; ++tt) {
+                                    const double kt = ekx[tt];
+                                    if (kt == 0.0) continue;
+                                    for (int uu = 0; uu <= cy + dy; ++uu) {
+                                        const double ku = eky[uu];
+                                        if (ku == 0.0) continue;
+                                        const double ktu = kt * ku;
+                                        for (int vv = 0; vv <= cz + dz;
+                                             ++vv) {
+                                            const double kv2 = ekz[vv];
+                                            if (kv2 == 0.0) continue;
+                                            const double s =
+                                                (((tt + uu + vv) & 1)
+                                                     ? -e_b3
+                                                     : e_b3) * ktu * kv2;
+                                            const double* rt =
+                                                rtab_v +
+                                                ((size_t)(t + tt) *
+                                                     rstride +
+                                                 (size_t)(u + uu) * tm1 +
+                                                 (v + vv)) * IC;
+                                            for (int m = 0; m < IC; ++m)
+                                                acc[m] += s * rt[m];
+                                        }
+                                    }
+                                }
+                            }
+                        }
+                    }
+                    for (int m = 0; m < IC; ++m)
+                        vals[(size_t)q * IC + m] = pref * acc[m];
+                    ++q;
                 }
             }
         }
@@ -299,8 +398,11 @@ extern "C" int sr_eri_block2(
 #endif
         double* vj = vj_t[tid].data();
         KStore& ks = ks_t[tid];
-        std::vector<double> vals(nq), fns(tm1);
-        std::vector<double> rtab((size_t)tm1 * tm1 * tm1);
+        const size_t nidx = (size_t)tm1 * tm1 * tm1;
+        std::vector<double> vals((size_t)nq * IC), fns(tm1);
+        std::vector<double> rtab(nidx), rtab_v(nidx * IC);
+        std::vector<int> live;
+        live.reserve(1024);
         double fb[MAX_T + 1];
 
 #ifdef _OPENMP
@@ -330,6 +432,8 @@ extern "C" int sr_eri_block2(
                 const double* Ek = E_k + (size_t)ik * 3 * ek_dim;
                 const int id_c = didx[ik];
 
+                // pass 1: screening — collect surviving images
+                live.clear();
                 for (int64_t ibv = 0; ibv < nB; ++ibv) {
                     const double* B = Bs + 3 * ibv;
                     double pc[3] = {Pb[0] - Qk[0] - B[0],
@@ -337,45 +441,72 @@ extern "C" int sr_eri_block2(
                                     Pb[2] - Qk[2] - B[2]};
                     const double r2 =
                         pc[0] * pc[0] + pc[1] * pc[1] + pc[2] * pc[2];
-                    if (th2 * r2 >= logcut) continue;
-
-                    boys(tmax, alpha * r2, fb);
-                    double ca = 1.0;
-                    for (int n = 0; n <= tmax; ++n) {
-                        fns[n] = ca * fb[n];
-                        ca *= -2.0 * alpha;
+                    if (th2 * r2 < logcut) live.push_back((int)ibv);
+                }
+                // pass 2: IC images per contraction (lanes >= mn hold
+                // stale garbage; their vals lanes are never read)
+                for (int m0 = 0; m0 < (int)live.size(); m0 += IC) {
+                    const int mn =
+                        std::min(IC, (int)live.size() - m0);
+                    for (int m = 0; m < mn; ++m) {
+                        const double* B = Bs + 3 * live[m0 + m];
+                        double pc[3] = {Pb[0] - Qk[0] - B[0],
+                                        Pb[1] - Qk[1] - B[1],
+                                        Pb[2] - Qk[2] - B[2]};
+                        const double r2 = pc[0] * pc[0] +
+                                          pc[1] * pc[1] + pc[2] * pc[2];
+                        boys(tmax, alpha * r2, fb);
+                        double ca = 1.0;
+                        for (int n = 0; n <= tmax; ++n) {
+                            fns[n] = ca * fb[n];
+                            ca *= -2.0 * alpha;
+                        }
+                        boys(tmax, th2 * r2, fb);
+                        double ct = sq;
+                        for (int n = 0; n <= tmax; ++n) {
+                            fns[n] -= ct * fb[n];
+                            ct *= -2.0 * th2;
+                        }
+                        hermite_r(tmax, pc, fns.data(), rtab.data());
+                        for (size_t i = 0; i < nidx; ++i)
+                            rtab_v[i * IC + m] = rtab[i];
                     }
-                    boys(tmax, th2 * r2, fb);
-                    double ct = sq;
-                    for (int n = 0; n <= tmax; ++n) {
-                        fns[n] -= ct * fb[n];
-                        ct *= -2.0 * th2;
-                    }
-                    hermite_r(tmax, pc, fns.data(), rtab.data());
-                    contract_quartet(la, lb, lc, ld, Eb, Ek, rtab.data(),
-                                     tm1, pref0, vals.data());
+                    contract_quartet_multi(la, lb, lc, ld, Eb, Ek,
+                                           rtab_v.data(), tm1, pref0,
+                                           vals.data());
 
-                    // J: accumulate on (A, D)
+                    // J: sum image lanes into the (A, D) slot
                     double* vv = vj + ((size_t)ia_c * nD + id_c) * nq;
-                    for (int iq = 0; iq < nq; ++iq) vv[iq] += vals[iq];
+                    for (int iq = 0; iq < nq; ++iq) {
+                        const double* vq = vals.data() + (size_t)iq * IC;
+                        double sum = 0.0;
+                        for (int m = 0; m < mn; ++m) sum += vq[m];
+                        vv[iq] += sum;
+                    }
 
-                    // K: accumulate on (B+D, A-B)
-                    int u[3], v[3];
-                    for (int d = 0; d < 3; ++d) {
-                        u[d] = iB[3 * ibv + d] + uD[id_c][d];
-                        v[d] = uA[ia_c][d] - iB[3 * ibv + d];
+                    // K: per-image scatter on (B+D, A-B)
+                    for (int m = 0; m < mn; ++m) {
+                        const int ibv = live[m0 + m];
+                        int u[3], v[3];
+                        for (int d = 0; d < 3; ++d) {
+                            u[d] = iB[3 * ibv + d] + uD[id_c][d];
+                            v[d] = uA[ia_c][d] - iB[3 * ibv + d];
+                        }
+                        uint64_t key;
+                        if (!pack6(u, v, &key)) continue;  // unreachably far
+                        auto it =
+                            ks.slots.emplace(key, (int)ks.keys.size());
+                        if (it.second) {
+                            ks.keys.push_back(std::array<int, 6>{
+                                u[0], u[1], u[2], v[0], v[1], v[2]});
+                            ks.vals.resize(
+                                ks.keys.size() * (size_t)nq, 0.0);
+                        }
+                        double* kv = ks.vals.data() +
+                                     (size_t)it.first->second * nq;
+                        for (int iq = 0; iq < nq; ++iq)
+                            kv[iq] += vals[(size_t)iq * IC + m];
                     }
-                    uint64_t key;
-                    if (!pack6(u, v, &key)) continue;  // unreachably far
-                    auto it = ks.slots.emplace(key, (int)ks.keys.size());
-                    if (it.second) {
-                        ks.keys.push_back(std::array<int, 6>{
-                            u[0], u[1], u[2], v[0], v[1], v[2]});
-                        ks.vals.resize(ks.keys.size() * (size_t)nq, 0.0);
-                    }
-                    double* kv = ks.vals.data() +
-                                 (size_t)it.first->second * nq;
-                    for (int iq = 0; iq < nq; ++iq) kv[iq] += vals[iq];
                 }
             }
         }
