@@ -1,0 +1,35 @@
+"""bcc-Li 3x3x3 from the reference POSCAR (BASELINE.md system #4).
+
+54 atoms / 162 electrons — the largest BASELINE system. Reference drives
+the same file via config/read_poscar.py:13 ("bcc_li.vasp,3,ccpvdz").
+Pretrain uses the native periodic UHF at sto-3g (the pretrain basis only
+seeds the ansatz; VMC accuracy is set by the network + KFAC).
+"""
+import logging
+import sys
+
+logging.basicConfig(level=logging.INFO)
+sys.path.insert(0, "/root/repo")
+from deepsolid_tpu.configs import read_poscar
+from deepsolid_tpu.train import process
+
+POSCAR = "/root/reference/DeepSolid/config/poscar/bcc_li.vasp"
+
+cfg = read_poscar.get_config(f"{POSCAR},3,sto-3g")
+cfg.batch_size = 1024
+cfg.precision = "float32"
+cfg.optim.optimizer = "kfac"
+cfg.optim.laplacian_mode = "forward"
+cfg.optim.iterations = 200000
+cfg.optim.el_chunk = 16
+cfg.mcmc.burn_in = 100
+cfg.mcmc.steps = 20
+cfg.pretrain.method = "net"
+cfg.pretrain.scf = "hf"
+cfg.pretrain.iterations = 500
+cfg.optim.kfac.adaptive_damping = True
+cfg.optim.kfac.damping_adaptation_interval = 10
+cfg.log.save_path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/runs/bcc_li_r3"
+cfg.log.save_frequency = 15.0
+cfg.log.stats_frequency = 10
+process.process(cfg)
