@@ -1,0 +1,162 @@
+"""Component-level timing of the forward-Laplacian local-energy path on
+the real chip: full E_L vs kinetic-only vs det-head-only vs Ewald-only.
+
+Answers "where do the milliseconds go?" ahead of kernel work (VERDICT r2
+weak #2: MFU 1.6%): if the det head (slogdet_jet's LU + batched
+A^-1 J_t matmuls) dominates, a lane-batched Pallas LU is the next
+kernel; if the one-stream jets dominate, block-sparsity is.
+
+Usage: python benchmarks/engine_profile.py [batch] [chunk]
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+import bench
+
+
+def _scan_time(fn, args, iters, perturb):
+    """Serialized on-device timing (bench._rate pattern): iterations are
+    chained through the carry so the shared pool cannot fan them out."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(*args):
+        def body(c, i):
+            out = fn(*perturb(args, i, c))
+            return jnp.real(out).astype(jnp.float32), 0.0
+
+        c, _ = jax.lax.scan(
+            body, jnp.asarray(0.0, jnp.float32),
+            jnp.arange(iters, dtype=jnp.float32),
+        )
+        return c
+
+    float(np.asarray(run(*args)))  # compile + warmup
+    t0 = time.perf_counter()
+    float(np.asarray(run(*args)))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+
+    from deepsolid_tpu.hamiltonian import make_local_energy
+    from deepsolid_tpu.models.fwdlap_forward import make_kinetic_forward
+    from deepsolid_tpu.ops import fwdlap as fl
+    from deepsolid_tpu.sampling.init import init_electrons
+
+    from __graft_entry__ import _diamond_network
+
+    sc, net = _diamond_network(S=2)
+    key = jax.random.PRNGKey(0)
+    params = net.init(key)
+    data = init_electrons(key, sc, sc.nelec, batch_size=batch)
+
+    def chunked(vm):
+        def f(p, d):
+            chunks = d.reshape(d.shape[0] // chunk, chunk, d.shape[-1])
+            return jax.lax.map(lambda c: vm(p, c), chunks)
+        return f
+
+    out = {"batch": batch, "chunk": chunk, "n_elec": int(sc.nelectron)}
+
+    # ---- full local energy ------------------------------------------------
+    el = make_local_energy(net.logdet, sc, mode="forward", network=net)
+    vm_el = jax.vmap(el, in_axes=(None, 0))
+
+    def full_fn(p, d):
+        ke, ew = chunked(vm_el)(p, d)
+        return ke.real.mean() + ew.mean()
+
+    dt = _scan_time(
+        full_fn, (params, data), 3,
+        lambda a, i, c: (a[0], a[1] + 1e-4 * (i + 2.0) + 1e-30 * c),
+    )
+    out["full_el_walkers_per_s"] = batch / dt
+
+    # ---- kinetic only -----------------------------------------------------
+    kin = make_kinetic_forward(net)
+    vm_kin = jax.vmap(kin, in_axes=(None, 0))
+
+    def kin_fn(p, d):
+        return chunked(vm_kin)(p, d).real.mean()
+
+    dt = _scan_time(
+        kin_fn, (params, data), 3,
+        lambda a, i, c: (a[0], a[1] + 1e-4 * (i + 2.0) + 1e-30 * c),
+    )
+    out["kinetic_walkers_per_s"] = batch / dt
+
+    # (ewald is cheap and fused with E_L; estimate = full - kinetic)
+
+    # ---- det head only ----------------------------------------------------
+    # jets of the two spin-block orbital matrices at production shape:
+    # (ndet, ns, ns) complex, T = 3N tangents
+    n3 = sc.nelectron * 3
+    ndet = 8
+    blocks = [s for s in (sc.nelec[0], sc.nelec[1]) if s > 0]
+    keys = jax.random.split(key, 6)
+
+    def make_jet(ki, ns, b):
+        shape = (b, ndet, ns, ns)
+        val = (jax.random.normal(keys[0], shape) +
+               1j * jax.random.normal(keys[1], shape)).astype(jnp.complex64)
+        val = val + 3.0 * jnp.eye(ns, dtype=jnp.complex64)
+        jac = (jax.random.normal(keys[2], (n3,) + shape, jnp.float32) +
+               1j * jax.random.normal(keys[3], (n3,) + shape, jnp.float32)
+               ).astype(jnp.complex64) * 0.05
+        lap = (jax.random.normal(keys[4], shape) +
+               1j * jax.random.normal(keys[5], shape)
+               ).astype(jnp.complex64) * 0.05
+        return fl.Jet(val, jac, lap)
+
+    det_chunk = min(chunk, 16)
+    jets = [make_jet(k, ns, det_chunk) for k, ns in enumerate(blocks)]
+
+    def det_fn(*flat):
+        total = 0.0
+        i = 0
+        for _ in blocks:
+            j = fl.Jet(flat[i], flat[i + 1], flat[i + 2])
+            i += 3
+            vm = jax.vmap(
+                lambda v, ja, la: fl.slogdet_jet(fl.Jet(v, ja, la)),
+                in_axes=(0, 1, 0),
+            )
+            sign, ld = vm(j.val, j.jac, j.lap)
+            total = total + ld.lap.real.mean() + ld.val.real.mean()
+        return total
+
+    flat = [x for j in jets for x in (j.val, j.jac, j.lap)]
+    dt = _scan_time(
+        det_fn, tuple(flat), 3,
+        lambda a, i, c: tuple(x + (1e-6 * (i + 1.0) + 1e-30 * c
+                                   if x.ndim == 4 else 0.0)
+                              for x in a),
+    )
+    out["det_head_walkers_per_s"] = det_chunk / dt
+    out["det_head_chunk"] = det_chunk
+
+    out["det_head_share_est"] = (
+        out["full_el_walkers_per_s"] / out["det_head_walkers_per_s"]
+    )
+    out["kinetic_share"] = (
+        out["full_el_walkers_per_s"] / out["kinetic_walkers_per_s"]
+    )
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

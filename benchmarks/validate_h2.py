@@ -43,7 +43,9 @@ def main(iterations=1500, batch=1024, L=20.0, optimizer="kfac", lr=0.05):
     cfg.network.detnet.determinants = 4
     cfg.pretrain.method = "net"
     cfg.pretrain.iterations = 200
-    cfg.log.save_path = f"/tmp/h2_validation_{optimizer}_b{batch}"
+    # L in the path: a shared directory would make run N restore run N-1's
+    # final checkpoint (different Hamiltonian) and skip training entirely
+    cfg.log.save_path = f"/tmp/h2_validation_{optimizer}_b{batch}_L{L:g}"
     cfg.log.stats_frequency = 10
     cfg.log.save_frequency = 1e9
 
@@ -58,7 +60,7 @@ def main(iterations=1500, batch=1024, L=20.0, optimizer="kfac", lr=0.05):
     print(
         f"H2 in {L}^3 box: E = {tail.mean():.4f} +- "
         f"{tail.std() / np.sqrt(len(tail)):.4f} Ha "
-        f"(isolated exact -1.1744; final step {energy:.4f})",
+        f"(isolated exact -1.1744; final step {energy})",
         flush=True,
     )
     return tail.mean()

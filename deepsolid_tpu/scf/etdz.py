@@ -60,17 +60,25 @@ _POLARIZATION = {
 
 
 def bath_exponents(z: int) -> Dict[int, np.ndarray]:
-    """Even-tempered primitive exponents per l for the atomic bath."""
+    """Even-tempered primitive exponents per l for the atomic bath.
+
+    Ranges/ratios are sized so the bath UHF lands within ~1 mHa of the
+    numerical Hartree-Fock limit through Ar (measured in
+    tests/test_etdz.py): the s bath must reach ~2000*zeta1s^2 (cusp
+    region) and the p bath ~6*z^2 (2p core of third-row elements —
+    cc-pVDZ's Ar p primitives reach 880); with the round-2 caps
+    (500*zeta^2 / 1.6*z^2, ratio 2.3) Ar sat +5.6 mHa above the limit."""
     zeta1s = max(z - 0.3, 1.0)
-    b = 2.3
-    a_max_s = 500.0 * zeta1s**2
+    b_s = 2.1
+    a_max_s = 2000.0 * zeta1s**2
     a_min_s = 0.012 if z >= 19 else 0.018 if z >= 11 else 0.025 if z >= 3 else 0.04
-    n_s = int(np.ceil(np.log(a_max_s / a_min_s) / np.log(b))) + 1
+    n_s = int(np.ceil(np.log(a_max_s / a_min_s) / np.log(b_s))) + 1
     out = {0: np.geomspace(a_min_s, a_max_s, n_s)[::-1].copy()}
     if z >= 5:
-        a_max_p = 1.6 * z**2
+        b_p = 2.3
+        a_max_p = 6.0 * z**2
         a_min_p = 0.03
-        n_p = int(np.ceil(np.log(a_max_p / a_min_p) / np.log(b))) + 1
+        n_p = int(np.ceil(np.log(a_max_p / a_min_p) / np.log(b_p))) + 1
         out[1] = np.geomspace(a_min_p, a_max_p, n_p)[::-1].copy()
     elif z >= 3:
         # Li/Be: no occupied p, but valence p is chemically essential

@@ -575,7 +575,8 @@ def run_uhf(sc: Supercell, shells, kpts, beta: float = None,
     )
 
 
-def _uhf_cache_path(sc: Supercell, basis: str, kpts: np.ndarray) -> str:
+def _uhf_cache_path(sc: Supercell, basis: str, kpts: np.ndarray,
+                    shells=None) -> str:
     """Content-keyed cache file for a converged periodic UHF solution.
 
     A multi-k SR-ERI build costs minutes; training restarts re-enter
@@ -604,6 +605,16 @@ def _uhf_cache_path(sc: Supercell, basis: str, kpts: np.ndarray) -> str:
         h.update(np.ascontiguousarray(arr).tobytes())
     h.update(",".join(prim.atom_symbols).encode())
     h.update(basis.lower().encode())
+    # hash the actual shell data, not just the basis name: generated
+    # bases (et-dz) can be regenerated with different tables under the
+    # same name, and a name-keyed cache would silently serve stale
+    # orbitals for them
+    if shells is not None:
+        for s in shells:
+            h.update(np.int64(s.l).tobytes())
+            h.update(np.asarray(s.exponents, np.float64).tobytes())
+            h.update(np.asarray(s.coefficients, np.float64).tobytes())
+            h.update(np.int64(s.atom_index).tobytes())
     return os.path.join(root, f"uhf_{h.hexdigest()[:24]}.npz")
 
 
@@ -612,7 +623,7 @@ def run_uhf_cached(sc: Supercell, shells, kpts,
     """run_uhf with a content-addressed disk cache of (eps, C)."""
     import os
 
-    path = _uhf_cache_path(sc, basis, kpts)
+    path = _uhf_cache_path(sc, basis, kpts, shells)
     if path and os.path.exists(path):
         try:
             with np.load(path) as f:
