@@ -77,6 +77,11 @@ def default() -> ml_collections.ConfigDict:
                 # walkers per local-energy sweep (0 = whole batch at once);
                 # bounds forward-Laplacian jet memory at large batch sizes
                 "el_chunk": 0,
+                # walker-chunk the psi-gradient vjp, KFAC curvature
+                # capture, and MCMC log-psi sweeps (lax.map): lets the
+                # full KFAC step run at batch 4096 x 96e on one 16G chip.
+                # 0 = whole batch.
+                "psi_chunk": 0,
             },
             "log": {
                 "stats_frequency": 1,

@@ -102,6 +102,11 @@ class KfacOptimizer:
     damping_adaptation_interval: int = 5
     damping_adaptation_decay: float = 0.9
     max_damping: float = 1.0
+    # walker-chunked curvature capture: the eps-injection vjp otherwise
+    # materializes full-batch taps/cotangents (multi-GB at batch 4096 x
+    # 96e). Factor updates are sums over walkers, so they accumulate
+    # exactly across lax.map chunks. 0 = whole batch.
+    capture_chunk: int = 0
 
     # ---------------- layout helpers -----------------------------------------
     def _registry(self, params):
@@ -284,30 +289,78 @@ class KfacOptimizer:
         diag_grads = {k: (dg_re[k], dg_im[k]) for k in dg_re}
         return taps, dy, diag_grads
 
-    def update_curvature(self, state, params, data):
-        """EMA update of all curvature factors (curvature_blocks.py:262-281,
-        curvature_tags_and_blocks.py:135-156 semantics)."""
+    def _factor_sums(self, params, data):
+        """Per-layer curvature factor SUMS over this walker chunk.
+
+        Returns (dense {name: (a_sum, g_sum)}, env {name: (a_sum, g_sum)},
+        diag {key: (g_re_sum, g_im_sum)}). All three accumulate linearly
+        over walkers, so chunked capture reproduces whole-batch capture
+        exactly (the diag gradients come batch-summed out of the vjp)."""
         taps, dy, diag_grads = self._capture(params, data)
-        ema_old = jnp.asarray(self.cov_ema_decay, data.dtype)
-        batch = data.shape[0]
         reg = self._registry(params)
 
-        blocks = dict(state["blocks"])
-        for name, block in blocks.items():
+        dense = {}
+        for name, info in reg.items():
             x = taps[name]
             x2 = x.reshape(-1, x.shape[-1])
-            if reg[name]["has_bias"]:
+            if info["has_bias"]:
                 x2 = jnp.concatenate(
                     [x2, jnp.ones_like(x2[:, :1])], axis=1
                 )
-            n_rep = x2.shape[0]
-            a_upd = pmean_if_axis((x2.T @ x2) / n_rep, DATA_AXIS)
             d_re, d_im = dy[name]
             d_re = d_re.reshape(-1, d_re.shape[-1])
             d_im = d_im.reshape(-1, d_im.shape[-1])
-            g_upd = pmean_if_axis(
-                (d_re.T @ d_re + d_im.T @ d_im) / n_rep, DATA_AXIS
+            dense[name] = (x2.T @ x2, d_re.T @ d_re + d_im.T @ d_im)
+
+        env = {}
+        for name in self._env_registry(params):
+            x = taps[name]  # (B, n_s, natom, k)
+            a_sum = jnp.einsum("bnak,bnal->akl", x, x)
+            d_re, d_im = dy[name]  # (B, n_s, m, natom, np)
+            B, n_s, m, natom, npar = d_re.shape
+            d_re = d_re.transpose(0, 1, 3, 2, 4).reshape(B, n_s, natom, m * npar)
+            d_im = d_im.transpose(0, 1, 3, 2, 4).reshape(B, n_s, natom, m * npar)
+            g_sum = (jnp.einsum("bnak,bnal->akl", d_re, d_re)
+                     + jnp.einsum("bnak,bnal->akl", d_im, d_im))
+            env[name] = (a_sum, g_sum)
+
+        return dense, env, diag_grads
+
+    def update_curvature(self, state, params, data):
+        """EMA update of all curvature factors (curvature_blocks.py:262-281,
+        curvature_tags_and_blocks.py:135-156 semantics). With capture_chunk
+        set, the capture vjp runs chunk-by-chunk under lax.map and the
+        factor sums accumulate — numerically identical, bounded memory."""
+        ema_old = jnp.asarray(self.cov_ema_decay, data.dtype)
+        batch = data.shape[0]
+        chunk = self.capture_chunk
+        if chunk and 0 < chunk < batch:
+            if batch % chunk != 0:
+                raise ValueError(
+                    f"kfac capture_chunk={chunk} must divide the "
+                    f"per-device walker batch ({batch})"
+                )
+            chunks = data.reshape(batch // chunk, chunk, data.shape[-1])
+            sums = jax.lax.map(
+                lambda d: self._factor_sums(params, d), chunks
             )
+            dense_s, env_s, diag_s = jax.tree_util.tree_map(
+                lambda s: s.sum(0), sums
+            )
+        else:
+            dense_s, env_s, diag_s = self._factor_sums(params, data)
+
+        # static per-walker repeat counts for the normalizations
+        dtype = data.dtype
+        shapes = self._tap_shapes(params, data.shape[-1:], dtype)
+
+        blocks = dict(state["blocks"])
+        for name, block in blocks.items():
+            in_shape, _ = shapes[name]
+            n_rep = batch * int(np.prod(in_shape[:-1], dtype=np.int64) or 1)
+            a_sum, g_sum = dense_s[name]
+            a_upd = pmean_if_axis(a_sum / n_rep, DATA_AXIS)
+            g_upd = pmean_if_axis(g_sum / n_rep, DATA_AXIS)
             blocks[name] = {
                 **block,
                 "a_raw": block["a_raw"] * ema_old + a_upd,
@@ -317,30 +370,21 @@ class KfacOptimizer:
 
         env_blocks = dict(state.get("env_blocks", {}))
         for name, block in env_blocks.items():
-            x = taps[name]  # (B, n_s, natom, k)
-            n_rep = x.shape[0] * x.shape[1]
-            a_upd = pmean_if_axis(
-                jnp.einsum("bnak,bnal->akl", x, x) / n_rep, DATA_AXIS
-            )
-            d_re, d_im = dy[name]  # (B, n_s, m, natom, np)
-            B, n_s, m, natom, npar = d_re.shape
-            d_re = d_re.transpose(0, 1, 3, 2, 4).reshape(B, n_s, natom, m * npar)
-            d_im = d_im.transpose(0, 1, 3, 2, 4).reshape(B, n_s, natom, m * npar)
-            g_upd = pmean_if_axis(
-                (jnp.einsum("bnak,bnal->akl", d_re, d_re)
-                 + jnp.einsum("bnak,bnal->akl", d_im, d_im)) / n_rep,
-                DATA_AXIS,
-            )
+            in_shape, _ = shapes[name]
+            n_rep = batch * in_shape[0]
+            a_sum, g_sum = env_s[name]
             env_blocks[name] = {
                 **block,
-                "a_raw": block["a_raw"] * ema_old + a_upd,
-                "g_raw": block["g_raw"] * ema_old + g_upd,
+                "a_raw": block["a_raw"] * ema_old
+                + pmean_if_axis(a_sum / n_rep, DATA_AXIS),
+                "g_raw": block["g_raw"] * ema_old
+                + pmean_if_axis(g_sum / n_rep, DATA_AXIS),
                 "weight": block["weight"] * ema_old + 1.0,
             }
 
         diag = dict(state["diag"])
         for key, entry in diag.items():
-            g_re, g_im = diag_grads[key]
+            g_re, g_im = diag_s[key]
             upd = pmean_if_axis((g_re**2 + g_im**2) / batch, DATA_AXIS)
             diag[key] = {
                 "raw": entry["raw"] * ema_old + upd,

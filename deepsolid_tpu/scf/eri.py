@@ -47,58 +47,122 @@ def _shell_offsets(shells):
     return offs, off
 
 
-def bloch_pair_ft(shells, lattice, kpts, gpts, eps: float = 1e-10):
+def _pair_ft_block(si, sj, al, be, ca, cb, b_pos, gpts):
+    """FT of one shell pair over flattened Gaussian products.
+
+    al/be/ca/cb: per-product exponents and (norm-folded) contraction
+    coefficients, (np,); b_pos: per-product absolute ket centers (np, 3)
+    (image offsets folded in). Returns (nfa, nfb, np, ng) complex with
+    the coefficients ALREADY multiplied in.
+
+    The exp(-G^2/4p) / exp(-iP.G) base and the per-dimension Hermite E
+    tables are shared across all cartesian component pairs — for a d x d
+    shell pair the 36 components reuse one base evaluation instead of
+    recomputing it per component as a naive per-component FT would.
+    """
+    gpts = np.asarray(gpts)
+    ng = gpts.shape[0]
+    npr = al.shape[0]
+    a_pos = np.asarray(si.center)
+
+    p = al + be
+    P = (al[:, None] * a_pos[None, :] + be[:, None] * b_pos) / p[:, None]
+    g2 = np.sum(gpts * gpts, axis=-1)
+    base = (np.pi / p)[:, None] ** 1.5 * np.exp(
+        -g2[None, :] / (4.0 * p[:, None])
+    )
+    base = base * np.exp(-1j * (P @ gpts.T))
+    coef = ca * cb
+    base *= coef[:, None]
+
+    ab = a_pos[None, :] - b_pos  # (np, 3)
+    etabs, gpows = [], []
+    for d in range(3):
+        x = ab[:, d]
+        mu = al * be / p
+        kab = np.exp(-mu * x * x)
+        etabs.append(
+            ints.e_coeffs(si.l, sj.l, p, -(be / p) * x, (al / p) * x, kab)
+        )
+        tmax = si.l + sj.l
+        gd = -1j * gpts[:, d]
+        pows = [np.ones(ng, np.complex128)]
+        for _ in range(tmax):
+            pows.append(pows[-1] * gd)
+        gpows.append(pows)
+
+    nfa, nfb = len(ints.CART[si.l]), len(ints.CART[sj.l])
+    out = np.empty((nfa, nfb, npr, ng), np.complex128)
+    for ia, la3 in enumerate(ints.CART[si.l]):
+        for ib, lb3 in enumerate(ints.CART[sj.l]):
+            acc = base
+            for d in range(3):
+                poly = np.zeros((npr, ng), np.complex128)
+                for t in range(la3[d] + lb3[d] + 1):
+                    et = etabs[d].get((la3[d], lb3[d], t))
+                    if et is None:
+                        continue
+                    poly += np.asarray(et)[:, None] * gpows[d][t][None, :]
+                acc = acc * poly
+            out[ia, ib] = acc
+    return out
+
+
+def bloch_pair_ft(shells, lattice, kpts, gpts, eps: float = 1e-10,
+                  g_chunk: int = 4096):
     """rho_k[mu nu](G) = sum_T e^{i k.T} \\int chi_mu(r) chi_nu(r - T) e^{-iG.r} dr.
 
     Returns complex array (nk, nao, nao, ng). `gpts` may be any set of
     3-vectors (shifted sets for exchange).
+
+    Screening is per PRIMITIVE pair: the surviving (prim_a, prim_b, image)
+    products are flattened per shell pair, so a tight-core primitive is
+    never evaluated over the hundreds of lattice images only its diffuse
+    shell-mates reach (the dominant waste in contracted bases, where one
+    shell spans exponents 1e3..1e-1).
     """
     kpts = np.asarray(kpts).reshape(-1, 3)
     gpts = np.asarray(gpts).reshape(-1, 3)
     offs, nao = _shell_offsets(shells)
     nk, ng = kpts.shape[0], gpts.shape[0]
+    lnq = -np.log(eps)
 
     alpha_min = min(float(s.exponents.min()) for s in shells)
-    rcut = np.sqrt(-np.log(eps) / (alpha_min / 2.0))
+    rcut = np.sqrt(lnq / (alpha_min / 2.0))
     images = _lattice_images(np.asarray(lattice), rcut)
 
     out = np.zeros((nk, nao, nao, ng), np.complex128)
     for i, si in enumerate(shells):
         for j, sj in enumerate(shells):
-            b_pos = sj.center[None, :] + images
-            ab = si.center[None, :] - b_pos
-            mu_pair = (si.exponents.min() * sj.exponents.min()) / (
-                si.exponents.min() + sj.exponents.min()
-            )
-            keep = mu_pair * np.sum(ab * ab, -1) < -np.log(eps)
+            al_s, be_s = si.exponents, sj.exponents
+            mu = (al_s[:, None] * be_s[None, :]) / (
+                al_s[:, None] + be_s[None, :]
+            )  # (na, nb)
+            d0 = si.center[None, :] - sj.center[None, :] - images  # (nT, 3)
+            r2 = np.sum(d0 * d0, axis=-1)  # (nT,)
+            keep = mu[:, :, None] * r2[None, None, :] < lnq
             if not np.any(keep):
                 continue
-            bk = b_pos[keep]
-            phases = np.exp(1j * kpts @ images[keep].T)  # (nk, nT)
-
-            na, nb = len(si.exponents), len(sj.exponents)
-            al = si.exponents.reshape(na, 1, 1)
-            be = sj.exponents.reshape(1, nb, 1)
+            ia, ib, it = np.nonzero(keep)
+            al = al_s[ia]
+            be = be_s[ib]
             ca = (si.coefficients
-                  * basis_lib.primitive_norm(si.exponents, si.l))
+                  * basis_lib.primitive_norm(si.exponents, si.l))[ia]
             cb = (sj.coefficients
-                  * basis_lib.primitive_norm(sj.exponents, sj.l))
-            rows = []
-            for la3 in ints.CART[si.l]:
-                cols = []
-                for lb3 in ints.CART[sj.l]:
-                    ft = ints.pair_density_ft(
-                        la3, lb3, al, be,
-                        np.broadcast_to(si.center, (1, 1, 1, 3)),
-                        bk[None, None], gpts,
-                    )  # (na, nb, nT, ng)
-                    cols.append(np.einsum("a,b,abtg->tg", ca, cb, ft))
-                rows.append(cols)
-            blk = np.array(rows)  # (nfa, nfb, nT, ng)
-            out[:, offs[i]:offs[i] + blk.shape[0],
-                offs[j]:offs[j] + blk.shape[1]] += np.einsum(
-                    "kt,abtg->kabg", phases, blk
-                )
+                  * basis_lib.primitive_norm(sj.exponents, sj.l))[ib]
+            b_pos = sj.center[None, :] + images[it]
+            # phase rows carry e^{ik.T} per product (nk, np)
+            phases = np.exp(1j * kpts @ images[it].T)
+
+            nfa, nfb = si.nfunc, sj.nfunc
+            for g0 in range(0, ng, g_chunk):
+                gsl = slice(g0, min(g0 + g_chunk, ng))
+                blk = _pair_ft_block(si, sj, al, be, ca, cb, b_pos,
+                                     gpts[gsl])
+                # (nk,np) x (nfa,nfb,np,ngc) -> (nk,nfa,nfb,ngc), BLAS path
+                res = np.tensordot(phases, blk, axes=([1], [2]))
+                out[:, offs[i]:offs[i] + nfa,
+                    offs[j]:offs[j] + nfb, gsl] += res
     return out
 
 
@@ -503,31 +567,66 @@ class LrBlocks:
                  eps=1e-10):
         self.kpts = np.asarray(kpts).reshape(-1, 3)
         self.nk = self.kpts.shape[0]
+        nk = self.nk
         self.beta = beta
         self.volume = volume
+        gpts = np.asarray(gpts).reshape(-1, 3)
+        ng = gpts.shape[0]
         self.gw = lr_weights(gpts, beta, volume)
-        self.rho0 = bloch_pair_ft(shells, lattice, self.kpts, gpts, eps)
+
+        # ---- universal fine grid -----------------------------------------
+        # Every shifted evaluation set G + q (q = k' - k) lies on the
+        # SUPERCELL reciprocal lattice, and the ket sets -(G + q) mirror
+        # onto G + (-q) because `gpts` is inversion-symmetric. So ONE
+        # Bloch-FT evaluation on the deduplicated union — with all nk
+        # phase rows at once — replaces the 2*nk^2 per-pair FT calls the
+        # naive build needs (the nk=8 LiH cc-pVDZ build drops from ~100
+        # min to ~2 min; nk=27 bcc-Li would be ~1500 calls). Points
+        # beyond the |G| cutoff of the unshifted set carry LR weights
+        # below the `full_gpoints` tolerance and are dropped (gathered
+        # from a zero pad column).
+        qdiff = (self.kpts[None, :, :] - self.kpts[:, None, :]).reshape(-1, 3)
+        qkey = np.round(qdiff, 9)
+        quniq, qinv = np.unique(qkey, axis=0, return_inverse=True)
+        self._qidx = qinv.reshape(nk, nk)  # [ik, ikp] -> unique-q row
+        nq = quniq.shape[0]
+
+        shifted = quniq[:, None, :] + gpts[None, :, :]  # (nq, ng, 3)
+        r2max = float(np.max(np.sum(gpts * gpts, -1))) * (1.0 + 1e-9)
+        pts = shifted.reshape(-1, 3)
+        inside = np.sum(pts * pts, -1) <= r2max
+        fine, inv = np.unique(np.round(pts[inside], 9), axis=0,
+                              return_inverse=True)
+        nf = fine.shape[0]
+        # map every (q, g) slot to a fine index; out-of-cutoff -> pad nf
+        idx_plus = np.full(nq * ng, nf, np.int64)
+        idx_plus[inside] = inv
+        idx_plus = idx_plus.reshape(nq, ng)
+        lookup = {tuple(row): n for n, row in enumerate(fine)}
+        neg = np.round(-shifted.reshape(-1, 3), 9)
+        idx_minus = np.full(nq * ng, nf, np.int64)
+        for n, row in enumerate(map(tuple, neg)):
+            hit = lookup.get(row)
+            if hit is not None:
+                idx_minus[n] = hit
+        idx_minus = idx_minus.reshape(nq, ng)
+
+        rho_fine = bloch_pair_ft(shells, lattice, self.kpts, fine, eps)
+        pad = np.zeros(rho_fine.shape[:-1] + (1,), rho_fine.dtype)
+        rho_pad = np.concatenate([rho_fine, pad], axis=-1)  # (nk,nao,nao,nf+1)
+
+        q0 = int(self._qidx[0, 0])
+        self.rho0 = np.ascontiguousarray(rho_pad[..., idx_plus[q0]])
         self.rho_q = []     # bra pair FTs: phases k' at G + q
         self.rho_q2 = []    # ket pair FTs: phases k at -(G + q)
         self.wq = []
-        for ik in range(self.nk):
+        for ik in range(nk):
             row_r, row_r2, row_w = [], [], []
-            for ikp in range(self.nk):
-                q = self.kpts[ikp] - self.kpts[ik]
-                gq = np.asarray(gpts) + q
-                if np.linalg.norm(q) < 1e-12 and ik == ikp:
-                    row_r.append(self.rho0[ikp])
-                    row_w.append(self.gw)
-                else:
-                    row_r.append(
-                        bloch_pair_ft(shells, lattice,
-                                      self.kpts[ikp:ikp + 1], gq, eps)[0]
-                    )
-                    row_w.append(lr_weights(gq, beta, volume))
-                row_r2.append(
-                    bloch_pair_ft(shells, lattice,
-                                  self.kpts[ik:ik + 1], -gq, eps)[0]
-                )
+            for ikp in range(nk):
+                qi = int(self._qidx[ik, ikp])
+                row_r.append(rho_pad[ikp][..., idx_plus[qi]])
+                row_r2.append(rho_pad[ik][..., idx_minus[qi]])
+                row_w.append(lr_weights(gpts + quniq[qi], beta, volume))
             self.rho_q.append(row_r)
             self.rho_q2.append(row_r2)
             self.wq.append(row_w)

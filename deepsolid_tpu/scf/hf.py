@@ -505,13 +505,23 @@ def run_uhf(sc: Supercell, shells, kpts, beta: float = None,
     if beta is None:
         beta = 5.0 / volume ** (1.0 / 3.0)
 
+    import logging
+    import time as _time
+
+    t0 = _time.time()
     s_k, t_k, v_k = core_matrices(prim, shells, kpts, beta=beta)
     h_k = t_k + v_k
     nk = kpts.shape[0]
+    logging.info("run_uhf: core matrices %.1f s", _time.time() - t0)
 
+    t0 = _time.time()
     sr = eri_lib.SrBlocks(shells, lattice, kpts, beta, s_k, eps_eri)
+    logging.info("run_uhf: SR-ERI blocks %.1f s", _time.time() - t0)
+    t0 = _time.time()
     gpts = eri_lib.full_gpoints(lattice, beta)
     lr = eri_lib.LrBlocks(shells, lattice, kpts, beta, volume, gpts)
+    logging.info("run_uhf: LR blocks (%d G points) %.1f s", len(gpts),
+                 _time.time() - t0)
     xi = exx_madelung(sc.lattice)
     e_nn = EwaldSum.build(prim).madelung
 
@@ -564,6 +574,11 @@ def run_uhf(sc: Supercell, shells, kpts, beta: float = None,
             occ[s] = _fill_aufbau(eps_s[s], n_occ[s])
             dm[s] = _density(c_s[s], occ[s])
 
+        if cyc <= 3 or cyc % 10 == 0:
+            logging.info(
+                "run_uhf: cycle %d E=%.8f dE=%.2e err=%.2e", cyc, e_tot,
+                e_tot - e_old, err_norm,
+            )
         if abs(e_tot - e_old) < conv_tol and err_norm < np.sqrt(conv_tol):
             converged = True
             break

@@ -19,6 +19,42 @@ from deepsolid_tpu.hamiltonian import make_local_energy
 from deepsolid_tpu.parallel import DATA_AXIS, pmean_if_axis
 
 
+def chunk_batch_fn(fn: Callable, chunk: int, what: str = "psi") -> Callable:
+    """Wrap a batched `(params, data) -> pytree-with-leading-batch-axis`
+    function in a lax.map over walker chunks, bounding its peak activation
+    memory to one chunk. The inner chunk call is jax.checkpoint'ed:
+    without remat, reverse-mode through the scan stacks every chunk's
+    forward residuals and peak memory is full-batch again (measured:
+    36.8G at batch 4096 x 96e — the scan transpose saves (n_chunks,
+    chunk, ...) activation stacks). With remat the backward recomputes
+    each chunk's forward from its (small) walker inputs, so the FULL
+    train step (psi-gradient vjp, KFAC curvature capture, MCMC log-psi
+    sweeps) runs at the reference's production batch 4096 x 96e on a
+    single 16G chip."""
+    if not chunk or chunk <= 0:
+        return fn
+
+    inner = jax.checkpoint(fn)
+
+    def wrapped(params, data):
+        n = data.shape[0]
+        if n <= chunk:
+            return fn(params, data)
+        if n % chunk != 0:
+            raise ValueError(
+                f"{what}_chunk={chunk} must divide the per-device walker "
+                f"batch ({n}); a silent whole-batch fallback would OOM "
+                "exactly the runs that need chunking"
+            )
+        chunks = data.reshape(n // chunk, chunk, data.shape[-1])
+        out = jax.lax.map(lambda d: inner(params, d), chunks)
+        return jax.tree_util.tree_map(
+            lambda o: o.reshape((n,) + o.shape[2:]), out
+        )
+
+    return wrapped
+
+
 @chex.dataclass
 class AuxiliaryLossData:
     variance: Any
@@ -63,6 +99,7 @@ def make_loss(
     partition_number: int = 3,
     network_obj=None,
     el_chunk: int = 0,
+    psi_chunk: int = 0,
     deriv_axis=None,
 ) -> Callable:
     """total_energy(params, data) -> (loss, AuxiliaryLossData), custom JVP.
@@ -77,6 +114,9 @@ def make_loss(
         network, supercell, mode=mode, partition_number=partition_number,
         network=network_obj, deriv_axis=deriv_axis,
     )
+    # bound the psi-gradient path's memory: the JVP below (and its KFAC
+    # transpose) otherwise materializes full-batch activations
+    batch_network = chunk_batch_fn(batch_network, psi_chunk, "psi")
     vmapped_el = jax.vmap(el_fun, in_axes=(None, 0), out_axes=0)
 
     if el_chunk and el_chunk > 0:

@@ -82,14 +82,20 @@ def pretrain(cfg, sc, net, params, data, key, mesh, source=None):
     method = cfg.pretrain.method
     latvec = jnp.asarray(sc.lattice)
 
+    from deepsolid_tpu.train.loss import chunk_batch_fn
+
+    psi_chunk = int(cfg.optim.get("psi_chunk", 0))
+
     if method == "net":
-        sample_network = net.batch_slogdet
+        sample_network = chunk_batch_fn(net.batch_slogdet, psi_chunk)
     elif method == "hf":
-        sample_network = lambda p, x: source.slogdet(x)  # noqa: E731
+        sample_network = chunk_batch_fn(
+            lambda p, x: source.slogdet(x), psi_chunk  # noqa: E731
+        )
     else:
         raise ValueError(f"Unknown pretrain method: {method}")
 
-    def loss_fn(p, x):
+    def loss_local(p, x):
         predict = net.batch_orbitals(p, x)
         target = source.orbital_mats(x)
         if full_det and len(target) == 2:
@@ -98,7 +104,24 @@ def pretrain(cfg, sc, net, params, data, key, mesh, source=None):
             jnp.mean(jnp.abs(t[:, None, ...] - pr) ** 2)
             for t, pr in zip(target, predict)
         ]
-        return pmean_if_axis(sum(losses) / len(losses), DATA_AXIS)
+        return sum(losses) / len(losses)
+
+    def loss_fn(p, x):
+        n = x.shape[0]
+        if psi_chunk and 0 < psi_chunk < n and n % psi_chunk == 0:
+            # equal chunks: mean of chunk means == batch mean; bounds the
+            # orbital-matching grad memory the same way the train step's
+            # psi_chunk does (unchunked it needs 21.8G at batch 4096 x 96e)
+            chunks = x.reshape(n // psi_chunk, psi_chunk, x.shape[-1])
+            # remat the chunk body: without it the scan transpose stacks
+            # all chunks' forward residuals (full-batch memory again)
+            inner = jax.checkpoint(loss_local)
+            val = jnp.mean(
+                jax.lax.map(lambda d: inner(p, d), chunks)
+            )
+        else:
+            val = loss_local(p, x)
+        return pmean_if_axis(val, DATA_AXIS)
 
     nsteps = max(1, int(cfg.pretrain.steps))
 

@@ -205,8 +205,10 @@ def process(cfg, max_iterations: Optional[int] = None):
         checkpoint_lib.save(ckpt_save_path, 0, data, params, None, None)
 
     # ---------------- samplers / loss ---------------------------------------
+    from deepsolid_tpu.train.loss import chunk_batch_fn
+
     mcmc_step = make_mcmc_step(
-        net.batch_slogdet,
+        chunk_batch_fn(net.batch_slogdet, cfg.optim.get("psi_chunk", 0)),
         sc.lattice,
         steps=cfg.mcmc.steps,
         one_electron_moves=cfg.mcmc.one_electron,
@@ -237,6 +239,7 @@ def process(cfg, max_iterations: Optional[int] = None):
                 "damping_adaptation_decay", 0.9
             ),
             max_damping=cfg.optim.kfac.get("max_damping", 1.0),
+            capture_chunk=cfg.optim.get("psi_chunk", 0),
         )
 
     total_energy = make_loss(
@@ -249,6 +252,7 @@ def process(cfg, max_iterations: Optional[int] = None):
         partition_number=cfg.optim.partition_number,
         network_obj=net,
         el_chunk=cfg.optim.get("el_chunk", 0),
+        psi_chunk=cfg.optim.get("psi_chunk", 0),
         deriv_axis=deriv_axis,
     )
     val_and_grad = jax.value_and_grad(total_energy, argnums=0, has_aux=True)

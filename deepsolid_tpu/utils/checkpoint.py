@@ -87,8 +87,12 @@ def restore(restore_filename: str, batch_size: Optional[int] = None):
         opt_state = ckpt["opt_state"].tolist()
         mcmc_width = ckpt["mcmc_width"].tolist()
         if batch_size and data.shape[0] != batch_size:
-            raise ValueError(
-                f"Wrong batch size in checkpoint: expected {batch_size}, "
-                f"found {data.shape[0]}."
-            )
+            # elastic batch resize: tile (or truncate) the walker axis.
+            # Tiled duplicates decorrelate over the next MCMC sweeps; the
+            # optimizer/param state is batch-independent. The reference
+            # hard-errors here (checkpoint.py:157-160) — resizing keeps
+            # restarts elastic across batch sizes as well as device counts.
+            n = data.shape[0]
+            reps = -(-batch_size // n)
+            data = np.tile(data, (reps, 1))[:batch_size]
     return t, data, params, opt_state, mcmc_width

@@ -14,6 +14,7 @@ from deepsolid_tpu.scf.hf import _uhf_cache_path, twisted_kpts
 
 for cfg in (
     rock_salt.get_config("Li,H,4.02,2,ccpvdz"),
+    rock_salt.get_config("Li,H,4.02,2,sto-3g"),
     read_poscar.get_config(
         "/root/reference/DeepSolid/config/poscar/bcc_li.vasp,3,sto-3g"),
 ):

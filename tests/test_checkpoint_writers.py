@@ -53,8 +53,14 @@ def test_checkpoint_elastic_restore_device_count():
         )
         np.testing.assert_allclose(np.asarray(resharded), np.asarray(data))
 
-        with pytest.raises(ValueError):
-            ckpt_lib.restore(path, 32)  # wrong batch size still rejected
+        # elastic batch resize: growing tiles the walker axis (duplicates
+        # decorrelate over subsequent MCMC sweeps), shrinking truncates
+        t, grown, *_ = ckpt_lib.restore(path, 32)
+        assert grown.shape == (32, 6)
+        np.testing.assert_allclose(grown[16:], grown[:16])
+        t, shrunk, *_ = ckpt_lib.restore(path, 8)
+        assert shrunk.shape == (8, 6)
+        np.testing.assert_allclose(shrunk, np.asarray(data)[:8])
 
 
 def test_kfac_opt_state_checkpoint_roundtrip():

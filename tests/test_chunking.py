@@ -1,0 +1,96 @@
+"""Walker-chunking equality tests (cfg.optim.psi_chunk).
+
+The chunked forms (psi-gradient vjp, KFAC curvature capture, MCMC log-psi,
+elastic batch-resized restore) must reproduce the whole-batch forms
+exactly — chunking is a memory transform, not an approximation. This is
+what lets the full KFAC train step run at the reference's production
+batch 4096 x 96e on a single 16G chip (whole-batch forms need 29G).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deepsolid_tpu.models.network import NetworkConfig, make_network
+from deepsolid_tpu.optim.kfac import KfacOptimizer
+from deepsolid_tpu.sampling.init import init_electrons
+from deepsolid_tpu.scf.free_electron import free_electron_klist
+from deepsolid_tpu.train.loss import chunk_batch_fn, make_loss
+
+from fixtures import lih_supercell
+
+
+def _setup(batch=16):
+    sc = lih_supercell()
+    net = make_network(
+        sc,
+        free_electron_klist(sc),
+        NetworkConfig(hidden_dims=((16, 4), (16, 4)), determinants=2),
+    )
+    key = jax.random.PRNGKey(0)
+    params = net.init(key)
+    data = init_electrons(key, sc, sc.nelec, batch_size=batch)
+    return sc, net, params, data
+
+
+def test_chunk_batch_fn_matches_whole_batch():
+    sc, net, params, data = _setup()
+    whole = net.batch_slogdet(params, data)
+    chunked = chunk_batch_fn(net.batch_slogdet, 4)(params, data)
+    # not bitwise: XLA fuses the whole-batch and chunk-scanned forms
+    # differently; agreement to fp32 roundoff is the contract
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(whole),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_loss_value_and_grad_chunked_equal(request):
+    sc, net, params, data = _setup()
+
+    def loss_for(psi_chunk):
+        return make_loss(
+            net.logdet, net.batch_logdet, sc, mode="forward",
+            network_obj=net, el_chunk=0, psi_chunk=psi_chunk,
+        )
+
+    vg0 = jax.value_and_grad(loss_for(0), has_aux=True)
+    vg4 = jax.value_and_grad(loss_for(4), has_aux=True)
+    (l0, _), g0 = vg0(params, data)
+    (l4, _), g4 = vg4(params, data)
+    np.testing.assert_allclose(float(l4), float(l0), rtol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g4)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-6, atol=1e-10)
+
+
+def test_kfac_capture_chunked_equal():
+    sc, net, params, data = _setup()
+    opt0 = KfacOptimizer(network=net, learning_rate_schedule=lambda t: 0.05)
+    opt4 = KfacOptimizer(network=net, learning_rate_schedule=lambda t: 0.05,
+                         capture_chunk=4)
+    s0 = opt0.update_curvature(opt0.init(params, data), params, data)
+    s4 = opt4.update_curvature(opt4.init(params, data), params, data)
+    for a, b in zip(jax.tree_util.tree_leaves(s0),
+                    jax.tree_util.tree_leaves(s4)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-6, atol=1e-9)
+
+
+def test_restore_elastic_batch_resize(tmp_path):
+    from deepsolid_tpu.utils import checkpoint as ckpt_lib
+
+    data = np.arange(24, dtype=np.float32).reshape(8, 3)
+    params = {"w": np.ones(2)}
+    path = ckpt_lib.save(str(tmp_path), 3, data, params, None,
+                         np.asarray(0.1))
+    # grow: tiled copies
+    _, d16, _, _, _ = ckpt_lib.restore(path, 16)
+    assert d16.shape == (16, 3)
+    np.testing.assert_array_equal(d16[:8], data)
+    np.testing.assert_array_equal(d16[8:], data)
+    # shrink: truncation
+    _, d4, _, _, _ = ckpt_lib.restore(path, 4)
+    np.testing.assert_array_equal(d4, data[:4])
+    # exact: untouched
+    _, d8, _, _, _ = ckpt_lib.restore(path, 8)
+    np.testing.assert_array_equal(d8, data)
