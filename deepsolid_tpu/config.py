@@ -137,6 +137,10 @@ def default() -> ml_collections.ConfigDict:
             "debug": {
                 "check_nan": False,
                 "deterministic": False,
+                # AOT-compile the train step, log XLA's static memory
+                # analysis, and return without executing — for diagnosing
+                # HBM ceilings at production batch sizes
+                "compile_only": False,
             },
             "pretrain": {
                 "method": "net",  # 'net' | 'hf' | 'none'

@@ -373,6 +373,17 @@ def process(cfg, max_iterations: Optional[int] = None):
         if mcmc_width_ckpt is not None
         else jnp.asarray(cfg.mcmc.move_width)
     )
+    if cfg.debug.get("compile_only", False):
+        # AOT-compile the train step and report XLA's static memory
+        # analysis without executing anything on the device — the tool for
+        # diagnosing HBM ceilings at production batch sizes.
+        key, subkey = jax.random.split(key)
+        lowered = train_step.lower(params, data, opt_state, subkey,
+                                   mcmc_width)
+        compiled = lowered.compile()
+        ma = compiled.memory_analysis()
+        logging.info("compile_only memory analysis: %s", ma)
+        return ma
     if t_init == 0 and cfg.mcmc.burn_in > 0:
         logging.info("Burning in MCMC chain for %d steps", cfg.mcmc.burn_in)
         for _ in range(cfg.mcmc.burn_in):
