@@ -529,10 +529,63 @@ def run_uhf(sc: Supercell, shells, kpts, beta: float = None,
     eps0, c0 = _solve_bands(h_k, s_k)
     occ = [_fill_aufbau(eps0, n) for n in n_occ]
     dm = [_density(c0, o) for o in occ]
-    eps_s, c_s = [eps0, eps0], [c0, c0]
+
+    result = _scf_cycles(
+        h_k, s_k, sr, lr, xi, e_nn, n_occ, dm, nk,
+        max_cycle=max_cycle, conv_tol=conv_tol,
+    )
+    if not result.converged:
+        # rescue pass for oscillating cases (diffuse/near-degenerate
+        # bases): restart from the best density with a level shift on
+        # the virtuals + Fock damping before DIIS engages. PySCF's
+        # level_shift/damp knobs serve the same role in the reference's
+        # bridge; the expensive SR/LR blocks are reused.
+        logging.info(
+            "run_uhf: not converged in %d cycles (E=%.8f), retrying "
+            "with level_shift=0.3 damp=0.5", result.n_cycles,
+            result.e_tot,
+        )
+        dm = [_density(result.c[s], _fill_aufbau(result.eps[s], n_occ[s]))
+              for s in range(2)]
+        result = _scf_cycles(
+            h_k, s_k, sr, lr, xi, e_nn, n_occ, dm, nk,
+            max_cycle=max_cycle, conv_tol=conv_tol,
+            level_shift=0.3, damp=0.5, diis_start_cycle=5,
+        )
+        if result.converged:
+            # one unshifted build+solve from the converged density so the
+            # returned band energies carry no +shift on the virtuals
+            dm = [_density(result.c[s],
+                           _fill_aufbau(result.eps[s], n_occ[s]))
+                  for s in range(2)]
+            clean = _scf_cycles(
+                h_k, s_k, sr, lr, xi, e_nn, n_occ, dm, nk, max_cycle=1,
+                conv_tol=conv_tol,
+            )
+            result = MeanField(
+                e_tot=clean.e_tot, converged=True, eps=clean.eps,
+                c=clean.c, n_cycles=result.n_cycles + 1,
+            )
+    return result
+
+
+def _scf_cycles(h_k, s_k, sr, lr, xi, e_nn, n_occ, dm, nk,
+                max_cycle=60, conv_tol=1e-8, level_shift=0.0,
+                damp=0.0, diis_start_cycle=1):
+    """The UHF cycle loop over prebuilt SR/LR two-electron blocks.
+
+    `level_shift` raises the virtual manifold by a constant (F +=
+    shift*(S - S D S)); since Q D S = 0 at idempotency this leaves the
+    converged density and the FDS-SDF error unchanged while damping
+    occupation flips between near-degenerate bands. `damp` mixes the
+    previous Fock into the current one for the first `diis_start_cycle`
+    cycles before Pulay extrapolation takes over."""
+    import logging
 
     diis = _Diis()
-    e_old, converged, cyc = 0.0, False, 0
+    eps_s, c_s = [None, None], [None, None]
+    f_prev = None
+    e_old, e_tot, converged, cyc = 0.0, 0.0, False, 0
     for cyc in range(1, max_cycle + 1):
         dm_tot = dm[0] + dm[1]
         j_mat = sr.coulomb(dm_tot) + lr.coulomb(dm_tot)
@@ -556,6 +609,15 @@ def run_uhf(sc: Supercell, shells, kpts, beta: float = None,
             e_elec -= 0.5 * np.einsum("kab,kba->", k_s[s], dm[s]).real
         e_tot = e_elec / nk + e_nn
 
+        if damp > 0.0 and cyc < diis_start_cycle and f_prev is not None:
+            f_s = [(1.0 - damp) * f + damp * fp
+                   for f, fp in zip(f_s, f_prev)]
+        f_prev = [f.copy() for f in f_s]
+        if level_shift > 0.0:
+            for s in range(2):
+                sds = np.einsum("kab,kbc,kcd->kad", s_k, dm[s], s_k)
+                f_s[s] = f_s[s] + level_shift * (s_k - sds)
+
         # DIIS on the combined spin-Fock vector with FDS-SDF errors
         errs, focks = [], []
         for s in range(2):
@@ -563,16 +625,17 @@ def run_uhf(sc: Supercell, shells, kpts, beta: float = None,
             errs.append((fds - fds.conj().transpose(0, 2, 1)).ravel())
             focks.append(f_s[s].ravel())
         err_norm = max(float(np.abs(e).max()) for e in errs)
-        f_new = diis.update(np.concatenate(focks), np.concatenate(errs))
-        f_s = [
-            f_new[i * h_k.size:(i + 1) * h_k.size].reshape(h_k.shape)
-            for i in range(2)
-        ]
+        if cyc >= diis_start_cycle:
+            f_new = diis.update(np.concatenate(focks), np.concatenate(errs))
+            f_s = [
+                f_new[i * h_k.size:(i + 1) * h_k.size].reshape(h_k.shape)
+                for i in range(2)
+            ]
 
         for s in range(2):
             eps_s[s], c_s[s] = _solve_bands(f_s[s], s_k)
-            occ[s] = _fill_aufbau(eps_s[s], n_occ[s])
-            dm[s] = _density(c_s[s], occ[s])
+            occ_s = _fill_aufbau(eps_s[s], n_occ[s])
+            dm[s] = _density(c_s[s], occ_s)
 
         if cyc <= 3 or cyc % 10 == 0:
             logging.info(

@@ -170,3 +170,48 @@ def test_scforbitals_hf_level():
     x = np.random.default_rng(0).normal(size=(3, 6)) * 2.0
     mats = orbs.orbital_mats(x)
     assert mats[0].shape == (3, 1, 1)
+
+
+def test_level_shift_damp_same_fixed_point():
+    """The rescue-pass knobs (level shift on virtuals + pre-DIIS Fock
+    damping) leave the converged UHF fixed point unchanged: at
+    idempotency Q D S = 0, so the shifted Fock has the same occupied
+    solutions and the same FDS-SDF error (scf/hf.py:_scf_cycles)."""
+    from deepsolid_tpu.scf import eri as eri_lib
+    from deepsolid_tpu.ops.ewald import EwaldSum
+    from deepsolid_tpu.scf.hf import (
+        _density, _fill_aufbau, _scf_cycles, _solve_bands, core_matrices,
+        exx_madelung,
+    )
+
+    cell = Cell.from_atoms(
+        [Atom("H", (0.0, 0.0, 0.0)), Atom("H", (1.4, 0.0, 0.0))],
+        np.eye(3) * 12.0,
+        spin=0,
+    )
+    sc = make_supercell(cell, np.eye(3))
+    shells = build_shells(sc.prim, "sto-3g")
+    kpts = twisted_kpts(sc)
+
+    prim = sc.prim
+    lattice = np.asarray(prim.lattice)
+    volume = abs(np.linalg.det(lattice))
+    beta = 5.0 / volume ** (1.0 / 3.0)
+    s_k, t_k, v_k = core_matrices(prim, shells, kpts, beta=beta)
+    h_k = t_k + v_k
+    sr = eri_lib.SrBlocks(shells, lattice, kpts, beta, s_k, 1e-8)
+    gpts = eri_lib.full_gpoints(lattice, beta)
+    lr = eri_lib.LrBlocks(shells, lattice, kpts, beta, volume, gpts)
+    xi = exx_madelung(sc.lattice)
+    e_nn = EwaldSum.build(prim).madelung
+    n_occ = tuple(sc.nelec)
+    eps0, c0 = _solve_bands(h_k, s_k)
+    dm0 = [_density(c0, _fill_aufbau(eps0, n)) for n in n_occ]
+
+    plain = _scf_cycles(h_k, s_k, sr, lr, xi, e_nn, n_occ,
+                        [d.copy() for d in dm0], kpts.shape[0])
+    shifted = _scf_cycles(h_k, s_k, sr, lr, xi, e_nn, n_occ,
+                          [d.copy() for d in dm0], kpts.shape[0],
+                          level_shift=0.3, damp=0.5, diis_start_cycle=5)
+    assert plain.converged and shifted.converged
+    np.testing.assert_allclose(shifted.e_tot, plain.e_tot, atol=2e-7)
