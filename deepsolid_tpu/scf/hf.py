@@ -712,11 +712,17 @@ def run_uhf_cached(sc: Supercell, shells, kpts,
                 c = tuple(
                     [f[f"c_{s}_{k}"] for k in range(nk)] for s in range(2)
                 )
-                return MeanField(
+                cached = MeanField(
                     e_tot=float(f["e_tot"]),
                     converged=bool(f["converged"]),
                     eps=eps, c=c, n_cycles=0,
                 )
+            # An unconverged entry must not pin the run forever: the SCF
+            # code (rescue pass, damping defaults) may have improved since
+            # it was written. Serve only converged results; recompute and
+            # overwrite otherwise.
+            if cached.converged:
+                return cached
         except Exception:
             pass  # corrupt cache entry: recompute
     mf = run_uhf(sc, shells, kpts)

@@ -215,3 +215,40 @@ def test_level_shift_damp_same_fixed_point():
                           level_shift=0.3, damp=0.5, diis_start_cycle=5)
     assert plain.converged and shifted.converged
     np.testing.assert_allclose(shifted.e_tot, plain.e_tot, atol=2e-7)
+
+
+def test_uhf_cache_skips_unconverged_entries(tmp_path, monkeypatch):
+    """An unconverged cached UHF entry must be recomputed, not served:
+    the rescue pass / damping defaults can improve after the entry was
+    written, and a converged=False hit would pin the run forever
+    (scf/hf.py:run_uhf_cached)."""
+    monkeypatch.setenv("DEEPSOLID_TPU_SCF_CACHE", str(tmp_path))
+    sc, shells = setup_h2()
+    kpts = twisted_kpts(sc)
+
+    eps = ([np.zeros(2)], [np.zeros(2)])
+    c = ([np.eye(2, dtype=complex)], [np.eye(2, dtype=complex)])
+    calls = []
+
+    def fake_run_uhf(sc_, shells_, kpts_, converged):
+        calls.append(converged)
+        return hf_lib.MeanField(e_tot=-1.0, converged=converged,
+                                eps=eps, c=c, n_cycles=7)
+
+    monkeypatch.setattr(
+        hf_lib, "run_uhf", lambda *a, **k: fake_run_uhf(*a, converged=False)
+    )
+    mf1 = hf_lib.run_uhf_cached(sc, shells, kpts, "sto-3g")
+    assert not mf1.converged and calls == [False]
+
+    # second call: the unconverged entry on disk must NOT short-circuit
+    monkeypatch.setattr(
+        hf_lib, "run_uhf", lambda *a, **k: fake_run_uhf(*a, converged=True)
+    )
+    mf2 = hf_lib.run_uhf_cached(sc, shells, kpts, "sto-3g")
+    assert mf2.converged and calls == [False, True]
+
+    # third call: converged entry IS served (no recompute)
+    mf3 = hf_lib.run_uhf_cached(sc, shells, kpts, "sto-3g")
+    assert mf3.converged and calls == [False, True]
+    np.testing.assert_allclose(mf3.c[0][0], c[0][0])
