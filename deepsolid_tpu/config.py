@@ -31,6 +31,13 @@ def default() -> ml_collections.ConfigDict:
             # (still 37x the 1e-4 accuracy target). Only 'highest' is
             # production-safe.
             "matmul_precision": "highest",
+            # Precision tier for the TANGENT-axis matmuls of the forward
+            # Laplacian only (the (3N, n, f) jac blocks and the det head's
+            # batched A^-1 J_t products — ~80% of the E_L FLOPs). The
+            # value path always runs at matmul_precision. 'high' (bf16_3x)
+            # doubles MXU throughput on those blocks; validate per system
+            # with benchmarks/f64_reeval.py before dropping from 'highest'.
+            "tangent_matmul_precision": "highest",
             "optim": {
                 "iterations": 1000000,
                 "optimizer": "kfac",  # 'kfac' | 'adam' | 'none'

@@ -31,6 +31,28 @@ import jax
 import jax.numpy as jnp
 
 
+_TANGENT_PRECISION = None  # None = inherit jax_default_matmul_precision
+
+
+def set_tangent_precision(p):
+    """Matmul precision for the TANGENT-axis contractions only.
+
+    The (T=3N, n, f) jac matmuls and the det head's batched A^-1 J_t
+    products carry ~80% of the forward-Laplacian FLOPs; the VALUE path
+    (which sets psi, the tanh linearization points and the LU) always
+    stays at the session default ('highest' in production — the round-2
+    H10 root cause). `p`: None (inherit default), 'highest' (bf16_6x),
+    or 'high' (bf16_3x, ~2x MXU throughput on the tangent matmuls —
+    opt-in via cfg.tangent_matmul_precision after f64 validation).
+    """
+    global _TANGENT_PRECISION
+    _TANGENT_PRECISION = None if p in (None, "inherit") else jax.lax.Precision(p)
+
+
+def _tprec():
+    return _TANGENT_PRECISION
+
+
 def _tsum(x, axis_name=None):
     """Sum over the (possibly device-sharded) tangent axis.
 
@@ -149,7 +171,8 @@ def dense(a: Jet, w, b=None) -> Jet:
     val = a.val @ w
     if b is not None:
         val = val + b
-    return Jet(val, a.jac @ w, a.lap @ w)
+    return Jet(val, jnp.matmul(a.jac, w, precision=_TANGENT_PRECISION),
+               a.lap @ w)
 
 
 def tanh(a: Jet, axis_name=None) -> Jet:
@@ -198,11 +221,13 @@ def dense_tanh(a: Jet, w, b, axis_name=None) -> Jet:
     jac2 = a.jac.reshape(t_dim, -1, d_in)
     lap2 = a.lap.reshape(-1, d_in)
     d_out = w.shape[-1]
+    kprec = _TANGENT_PRECISION or jax.lax.Precision.HIGHEST
     if axis_name is None:
-        v, j, l = fused_dense_tanh_jet(val2, jac2, lap2, w, b)
+        v, j, l = fused_dense_tanh_jet(val2, jac2, lap2, w, b,
+                                       jac_precision=kprec)
     else:
         v, j, lap_part, s_local = fused_dense_tanh_jet_partial(
-            val2, jac2, lap2, w, b
+            val2, jac2, lap2, w, b, jac_precision=kprec
         )
         s = jax.lax.psum(s_local, axis_name)
         l = lap_part + (-2.0 * v * (1.0 - v * v)) * s
@@ -226,7 +251,8 @@ def dense_mix(a_rv: Jet, a_rc: Jet, w_rv, w_rc, b=None) -> Jet:
         val = val + b
     return Jet(
         val,
-        a_rv.jac @ w_rv + a_rc.jac @ w_rc,
+        jnp.matmul(a_rv.jac, w_rv, precision=_TANGENT_PRECISION)
+        + jnp.matmul(a_rc.jac, w_rc, precision=_TANGENT_PRECISION),
         a_rv.lap @ w_rv + a_rc.lap @ w_rc,
     )
 
@@ -255,12 +281,13 @@ def dense_tanh_mix(a_rv: Jet, a_rc: Jet, w_rv, w_rc, b, axis_name=None) -> Jet:
     zbc = (a_rc.val @ w_rc).reshape(-1)
     lbc = (a_rc.lap @ w_rc).reshape(-1)
     jbc = (a_rc.jac @ w_rc).reshape(t_dim, d_out)
+    kprec = _TANGENT_PRECISION or jax.lax.Precision.HIGHEST
     if axis_name is None:
         v, j, l = fused_dense_tanh_jet_mix(val2, jac2, lap2, zbc, lbc, jbc,
-                                           w_rv, b)
+                                           w_rv, b, jac_precision=kprec)
     else:
         v, j, lap_part, s_local = fused_dense_tanh_jet_mix_partial(
-            val2, jac2, lap2, zbc, lbc, jbc, w_rv, b
+            val2, jac2, lap2, zbc, lbc, jbc, w_rv, b, jac_precision=kprec
         )
         s = jax.lax.psum(s_local, axis_name)
         l = lap_part + (-2.0 * v * (1.0 - v * v)) * s
@@ -389,7 +416,9 @@ def slogdet_jet(mat: Jet, axis_name=None) -> Tuple[jnp.ndarray, Jet]:
     # precision.
     n = a.shape[-1]
     a_inv = solve(jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape))
-    b = a_inv[None] @ mat.jac  # (T, ..., n, n) = A^-1 J_t
+    # (T, ..., n, n) = A^-1 J_t; tangent-axis batched matmul — rides the
+    # tangent precision tier (see set_tangent_precision)
+    b = jnp.matmul(a_inv[None], mat.jac, precision=_TANGENT_PRECISION)
     jac = jnp.trace(b, axis1=-2, axis2=-1)  # (T, ...)
     lap1 = jnp.trace(solve(mat.lap), axis1=-2, axis2=-1)
     lap2 = _tsum(jnp.sum(b * jnp.swapaxes(b, -1, -2), axis=(-1, -2)), axis_name)

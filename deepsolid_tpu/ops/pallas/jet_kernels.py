@@ -32,7 +32,8 @@ def _round_up(x, m):
 
 
 def _kernel(val_ref, lap_ref, jac_ref, w_ref, b_ref,
-            val_o_ref, lap_o_ref, jac_o_ref, acc_ref, t_scr_ref):
+            val_o_ref, lap_o_ref, jac_o_ref, acc_ref, t_scr_ref,
+            *, jac_precision=jax.lax.Precision.HIGHEST):
     tk = pl.program_id(2)
     n_tk = pl.num_programs(2)
     w = w_ref[:]
@@ -50,12 +51,14 @@ def _kernel(val_ref, lap_ref, jac_ref, w_ref, b_ref,
     t = t_scr_ref[:]
     d = 1.0 - t * t
 
-    # one batched matmul over the whole t-chunk (MXU-friendly)
+    # one batched matmul over the whole t-chunk (MXU-friendly); the
+    # tangent block may ride a cheaper precision tier than the value
+    # pass (ops/fwdlap.set_tangent_precision)
     yj = jax.lax.dot_general(
         jac_ref[:], w,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jac_precision,
     )  # (bt, bn, bc)
     jac_o_ref[:] = (d[None] * yj).astype(jac_o_ref.dtype)
     acc_ref[:] += jnp.sum(yj * yj, axis=0)
@@ -70,7 +73,8 @@ def _kernel(val_ref, lap_ref, jac_ref, w_ref, b_ref,
 
 def _kernel_partial(val_ref, lap_ref, jac_ref, w_ref, b_ref,
                     val_o_ref, lap_o_ref, jac_o_ref, s_o_ref,
-                    acc_ref, t_scr_ref):
+                    acc_ref, t_scr_ref,
+                    *, jac_precision=jax.lax.Precision.HIGHEST):
     """Like _kernel, but the tangent-square reduction is emitted as a
     separate output `s` instead of folded into lap — for a device-sharded
     tangent axis, where the caller must psum `s` across the mesh before
@@ -96,7 +100,7 @@ def _kernel_partial(val_ref, lap_ref, jac_ref, w_ref, b_ref,
         jac_ref[:], w,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jac_precision,
     )  # (bt, bn, bc)
     jac_o_ref[:] = (d[None] * yj).astype(jac_o_ref.dtype)
     acc_ref[:] += jnp.sum(yj * yj, axis=0)
@@ -110,7 +114,8 @@ def _kernel_partial(val_ref, lap_ref, jac_ref, w_ref, b_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_n", "block_c", "block_t")
+    jax.jit,
+    static_argnames=("block_n", "block_c", "block_t", "jac_precision"),
 )
 def fused_dense_tanh_jet_partial(
     val: jnp.ndarray,   # (n, d_in)
@@ -121,6 +126,7 @@ def fused_dense_tanh_jet_partial(
     block_n: int = 64,
     block_c: int = 128,
     block_t: int = 8,
+    jac_precision=jax.lax.Precision.HIGHEST,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(val_out, jac_out, lap_part, s_local) of the tanh(dense(.)) jet
     rule with the tangent reduction left open:
@@ -150,7 +156,7 @@ def fused_dense_tanh_jet_partial(
 
     grid = (n_pad // bn, c_pad // bc, t_pad // bt)
     val_o, lap_o, jac_o, s_o = pl.pallas_call(
-        _kernel_partial,
+        functools.partial(_kernel_partial, jac_precision=jac_precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bn, k_pad), lambda i, j, k: (i, 0),
@@ -195,7 +201,8 @@ def fused_dense_tanh_jet_partial(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_n", "block_c", "block_t")
+    jax.jit,
+    static_argnames=("block_n", "block_c", "block_t", "jac_precision"),
 )
 def fused_dense_tanh_jet(
     val: jnp.ndarray,   # (n, d_in)
@@ -206,6 +213,7 @@ def fused_dense_tanh_jet(
     block_n: int = 64,
     block_c: int = 128,
     block_t: int = 8,
+    jac_precision=jax.lax.Precision.HIGHEST,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(val_out, jac_out, lap_out) of the tanh(dense(.)) jet rule."""
     t_dim, n, d_in = jac.shape
@@ -231,7 +239,7 @@ def fused_dense_tanh_jet(
 
     grid = (n_pad // bn, c_pad // bc, t_pad // bt)
     val_o, lap_o, jac_o = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, jac_precision=jac_precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bn, k_pad), lambda i, j, k: (i, 0),
@@ -299,7 +307,7 @@ def dense_tanh_jet_reference(val, jac, lap, w, b):
 
 def _kernel_mix(val_ref, lap_ref, jac_ref, w_ref, b_ref, zbc_ref, lbc_ref,
                 jbc_ref, val_o_ref, lap_o_ref, jac_o_ref, acc_ref,
-                t_scr_ref):
+                t_scr_ref, *, jac_precision=jax.lax.Precision.HIGHEST):
     tk = pl.program_id(2)
     n_tk = pl.num_programs(2)
     w = w_ref[:]
@@ -321,7 +329,7 @@ def _kernel_mix(val_ref, lap_ref, jac_ref, w_ref, b_ref, zbc_ref, lbc_ref,
         jac_ref[:], w,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jac_precision,
     )  # (bt, bn, bc)
     yj = yj + jbc_ref[:][:, None, :]
     jac_o_ref[:] = (d[None] * yj).astype(jac_o_ref.dtype)
@@ -337,7 +345,8 @@ def _kernel_mix(val_ref, lap_ref, jac_ref, w_ref, b_ref, zbc_ref, lbc_ref,
 
 def _kernel_mix_partial(val_ref, lap_ref, jac_ref, w_ref, b_ref, zbc_ref,
                         lbc_ref, jbc_ref, val_o_ref, lap_o_ref, jac_o_ref,
-                        s_o_ref, acc_ref, t_scr_ref):
+                        s_o_ref, acc_ref, t_scr_ref,
+                        *, jac_precision=jax.lax.Precision.HIGHEST):
     """Mix kernel with the tangent-square reduction left open (sharded
     tangent axis; see fused_dense_tanh_jet_partial)."""
     tk = pl.program_id(2)
@@ -361,7 +370,7 @@ def _kernel_mix_partial(val_ref, lap_ref, jac_ref, w_ref, b_ref, zbc_ref,
         jac_ref[:], w,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=jac_precision,
     )
     yj = yj + jbc_ref[:][:, None, :]
     jac_o_ref[:] = (d[None] * yj).astype(jac_o_ref.dtype)
@@ -376,7 +385,8 @@ def _kernel_mix_partial(val_ref, lap_ref, jac_ref, w_ref, b_ref, zbc_ref,
 
 
 def _fused_mix_call(kernel, n_outs, val, jac, lap, zbc, lbc, jbc, w, b,
-                    block_n, block_c, block_t):
+                    block_n, block_c, block_t,
+                    jac_precision=jax.lax.Precision.HIGHEST):
     t_dim, n, d_in = jac.shape
     d_out = w.shape[1]
     bn = min(block_n, _round_up(n, 8))
@@ -409,7 +419,7 @@ def _fused_mix_call(kernel, n_outs, val, jac, lap, zbc, lbc, jbc, w, b,
     nc_spec = pl.BlockSpec((bn, bc), lambda i, j, k: (i, j),
                            memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        kernel,
+        functools.partial(kernel, jac_precision=jac_precision),
         grid=grid,
         in_specs=[
             row_spec,
@@ -442,7 +452,8 @@ def _fused_mix_call(kernel, n_outs, val, jac, lap, zbc, lbc, jbc, w, b,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_n", "block_c", "block_t")
+    jax.jit,
+    static_argnames=("block_n", "block_c", "block_t", "jac_precision"),
 )
 def fused_dense_tanh_jet_mix(
     val, jac, lap,       # row-varying parts: (n, d_in), (T, n, d_in), (n, d_in)
@@ -451,29 +462,32 @@ def fused_dense_tanh_jet_mix(
     block_n: int = 64,
     block_c: int = 128,
     block_t: int = 8,
+    jac_precision=jax.lax.Precision.HIGHEST,
 ):
     """(val_out, jac_out, lap_out) of tanh(dense_rv(.) + broadcast(.))."""
     (val_o, lap_o, jac_o), (n, d_out, t_dim) = _fused_mix_call(
         _kernel_mix, 3, val, jac, lap, zbc, lbc, jbc, w, b,
-        block_n, block_c, block_t,
+        block_n, block_c, block_t, jac_precision,
     )
     return val_o[:n, :d_out], jac_o[:t_dim, :n, :d_out], lap_o[:n, :d_out]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_n", "block_c", "block_t")
+    jax.jit,
+    static_argnames=("block_n", "block_c", "block_t", "jac_precision"),
 )
 def fused_dense_tanh_jet_mix_partial(
     val, jac, lap, zbc, lbc, jbc, w, b,
     block_n: int = 64,
     block_c: int = 128,
     block_t: int = 8,
+    jac_precision=jax.lax.Precision.HIGHEST,
 ):
     """Mix kernel emitting (val_out, jac_out, lap_part, s_local) for a
     device-sharded tangent axis (psum s before closing the lap)."""
     (val_o, lap_o, jac_o, s_o), (n, d_out, t_dim) = _fused_mix_call(
         _kernel_mix_partial, 4, val, jac, lap, zbc, lbc, jbc, w, b,
-        block_n, block_c, block_t,
+        block_n, block_c, block_t, jac_precision,
     )
     return (val_o[:n, :d_out], jac_o[:t_dim, :n, :d_out],
             lap_o[:n, :d_out], s_o[:n, :d_out])

@@ -25,6 +25,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from deepsolid_tpu import observables as observables_lib
+from deepsolid_tpu.ops import fwdlap
 from deepsolid_tpu.models.network import NetworkConfig, make_network
 from deepsolid_tpu.parallel import (
     DATA_AXIS,
@@ -92,6 +93,9 @@ def process(cfg, max_iterations: Optional[int] = None):
     jax.config.update(
         "jax_default_matmul_precision",
         cfg.get("matmul_precision", "highest"),
+    )
+    fwdlap.set_tangent_precision(
+        cfg.get("tangent_matmul_precision", None) or None
     )
 
     deriv_devices = int(cfg.get("parallel", {}).get("deriv_devices", 1))

@@ -46,6 +46,10 @@ def _cpu_env():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
+    # the session sitecustomize force-registers the remote-TPU PJRT
+    # plugin when this is set; with the tunnel down, backend init in the
+    # child hangs past the test timeout
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     return env
 
 

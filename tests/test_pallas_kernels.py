@@ -92,3 +92,59 @@ def test_fwdlap_dense_tanh_wrapper_fallback():
     np.testing.assert_allclose(np.asarray(out.val), np.asarray(ref.val))
     np.testing.assert_allclose(np.asarray(out.jac), np.asarray(ref.jac))
     np.testing.assert_allclose(np.asarray(out.lap), np.asarray(ref.lap))
+
+
+def test_tangent_precision_plumbing(monkeypatch):
+    """The tangent-precision tier threads through the jnp jet ops and the
+    fused kernels (interpret mode) without changing CPU results — on CPU
+    every precision tier is the same f32 arithmetic, so this pins the
+    plumbing (static-arg hashability, kernel closure) rather than values."""
+    import jax
+    import numpy as np
+
+    from deepsolid_tpu.ops import fwdlap as fl
+
+    rng = np.random.default_rng(3)
+    t_dim, n, d_in, d_out = 12, 8, 16, 24
+    jet = fl.Jet(
+        val=jnp.asarray(rng.normal(size=(n, d_in)), jnp.float32),
+        jac=jnp.asarray(rng.normal(size=(t_dim, n, d_in)), jnp.float32),
+        lap=jnp.asarray(rng.normal(size=(n, d_in)), jnp.float32),
+    )
+    w = jnp.asarray(rng.normal(size=(d_in, d_out)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(d_out,)), jnp.float32)
+
+    base = fl.dense_tanh(jet, w, b)
+    try:
+        fl.set_tangent_precision("high")
+        assert fl._TANGENT_PRECISION == jax.lax.Precision.HIGH
+        tiered = fl.dense_tanh(jet, w, b)
+    finally:
+        fl.set_tangent_precision(None)
+    np.testing.assert_allclose(np.asarray(tiered.jac), np.asarray(base.jac),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(tiered.lap), np.asarray(base.lap),
+                               rtol=1e-6)
+
+    # fused kernel path in interpret mode with the non-default tier
+    import functools
+    from jax.experimental import pallas as pl_mod
+    orig_call = pl_mod.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig_call(*args, **kwargs)
+
+    monkeypatch.setattr(pl_mod, "pallas_call", patched)
+    from deepsolid_tpu.ops.pallas import jet_kernels
+
+    v, j, l = jet_kernels.fused_dense_tanh_jet(
+        jet.val, jet.jac, jet.lap, w, b,
+        jac_precision=jax.lax.Precision.HIGH,
+    )
+    np.testing.assert_allclose(np.asarray(j), np.asarray(base.jac),
+                               rtol=1e-5, atol=1e-6)
+    # lap carries the tangent square-sum: f32 accumulation order differs
+    # between the kernel scratch loop and the jnp reduction
+    np.testing.assert_allclose(np.asarray(l), np.asarray(base.lap),
+                               rtol=1e-4, atol=1e-4)
