@@ -420,7 +420,10 @@ def slogdet_jet(mat: Jet, axis_name=None) -> Tuple[jnp.ndarray, Jet]:
     # tangent precision tier (see set_tangent_precision)
     b = jnp.matmul(a_inv[None], mat.jac, precision=_TANGENT_PRECISION)
     jac = jnp.trace(b, axis1=-2, axis2=-1)  # (T, ...)
-    lap1 = jnp.trace(solve(mat.lap), axis1=-2, axis2=-1)
+    # tr(A^-1 L) as an inner product with the materialized inverse —
+    # saves the n^3 LU solve a trace-of-solve would spend on off-diagonal
+    # columns it never reads
+    lap1 = jnp.sum(a_inv * jnp.swapaxes(mat.lap, -1, -2), axis=(-1, -2))
     lap2 = _tsum(jnp.sum(b * jnp.swapaxes(b, -1, -2), axis=(-1, -2)), axis_name)
     return sign, Jet(logdet, jac, lap1 - lap2)
 
