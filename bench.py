@@ -143,12 +143,26 @@ def flops_per_walker(mode, chunk=32):
 
 
 def main():
+    import os
+
     import jax
 
     # production training precision (config.py matmul_precision: 1-pass
     # bf16 matmuls demonstrably corrupt VMC training, so the honest
     # benchmark number is the full-f32-accuracy one)
     jax.config.update("jax_default_matmul_precision", "highest")
+    # tangent-axis tier: follow the production config default so the bench
+    # measures what training runs actually use; DEEPSOLID_TPU_TANGENT_PRECISION
+    # overrides for A/B experiments (see benchmarks/tangent_prec_ab.py)
+    from deepsolid_tpu import config as config_lib
+    from deepsolid_tpu.ops import fwdlap
+
+    tangent_tier = os.environ.get(
+        "DEEPSOLID_TPU_TANGENT_PRECISION",
+        config_lib.default().get("tangent_matmul_precision", "highest"),
+    )
+    fwdlap.set_tangent_precision(None if tangent_tier == "highest"
+                                 else tangent_tier)
     # Measure BOTH engines back-to-back in the same window at the SAME
     # production batch (iso-batch, VERDICT r1 #7). The shared pool's
     # throughput fluctuates on a minutes timescale, so the ratio is
@@ -176,7 +190,8 @@ def main():
                 "metric": "local_energy_evals_per_sec_per_chip "
                           "(C-diamond 2x2x2, 96e, full-size net, "
                           f"production batch {batch} w/ "
-                          f"el_chunk={fwd_chunk}, full-f32 matmuls; "
+                          f"el_chunk={fwd_chunk}, full-f32 matmuls, "
+                          f"tangent tier '{tangent_tier}'; "
                           "median of 3 same-window iso-batch ratios over "
                           "the reference-style partition engine)",
                 "value": round(evals_per_sec, 3),
