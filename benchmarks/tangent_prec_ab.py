@@ -91,9 +91,10 @@ def main():
 
         el_fn = el_full
 
+    tiers = ("highest", "high", "default")
     out = {"system": system, "step": int(t), "n_walkers": int(n_walkers)}
     energies = {}
-    for tier in ("highest", "high"):
+    for tier in tiers:
         fwdlap.set_tangent_precision(None if tier == "highest" else tier)
         if system != "diamond-bench":
             e = np.asarray(jax.jit(el_fn)(params, data))
@@ -103,16 +104,19 @@ def main():
                   params, data), 3)
     fwdlap.set_tangent_precision(None)
 
-    if energies:
-        err = energies["high"].real - energies["highest"].real
-        out.update({
-            "per_walker_abs_err_mean_Ha": float(np.abs(err).mean()),
-            "per_walker_abs_err_max_Ha": float(np.abs(err).max()),
-            "batch_mean_err_Ha": float(err.mean()),
-            "batch_mean_err_stderr_Ha": float(err.std() / np.sqrt(len(err))),
-        })
-    out["speedup"] = round(
-        out["rate_high_walkers_per_s"] / out["rate_highest_walkers_per_s"], 3)
+    for tier in tiers[1:]:
+        if energies:
+            err = energies[tier].real - energies["highest"].real
+            out[f"{tier}_vs_highest"] = {
+                "per_walker_abs_err_mean_Ha": float(np.abs(err).mean()),
+                "per_walker_abs_err_max_Ha": float(np.abs(err).max()),
+                "batch_mean_err_Ha": float(err.mean()),
+                "batch_mean_err_stderr_Ha": float(
+                    err.std() / np.sqrt(len(err))),
+            }
+        out[f"speedup_{tier}"] = round(
+            out[f"rate_{tier}_walkers_per_s"]
+            / out["rate_highest_walkers_per_s"], 3)
     print(json.dumps(out, indent=1))
 
 
