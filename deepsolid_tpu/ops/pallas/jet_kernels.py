@@ -31,6 +31,16 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _default_block_t():
+    """Tangent-chunk rows per kernel grid step. Larger blocks mean fewer
+    sequential grid iterations and a taller MXU matmul per step at the
+    cost of VMEM (jac in + jac out = 2 * bt * bn * 128 lanes * 4B);
+    env-tunable for on-chip sweeps."""
+    import os
+
+    return int(os.environ.get("DEEPSOLID_TPU_JET_BLOCK_T", "8"))
+
+
 def _kernel(val_ref, lap_ref, jac_ref, w_ref, b_ref,
             val_o_ref, lap_o_ref, jac_o_ref, acc_ref, t_scr_ref,
             *, jac_precision=jax.lax.Precision.HIGHEST):
@@ -125,7 +135,7 @@ def fused_dense_tanh_jet_partial(
     b: jnp.ndarray,     # (d_out,)
     block_n: int = 64,
     block_c: int = 128,
-    block_t: int = 8,
+    block_t: int | None = None,
     jac_precision=jax.lax.Precision.HIGHEST,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(val_out, jac_out, lap_part, s_local) of the tanh(dense(.)) jet
@@ -137,6 +147,8 @@ def fused_dense_tanh_jet_partial(
     d_out = w.shape[1]
     bn = min(block_n, _round_up(n, 8))
     bc = min(block_c, _round_up(d_out, 128))
+    if block_t is None:
+        block_t = _default_block_t()
     bt = min(block_t, t_dim)
 
     n_pad = _round_up(n, bn)
@@ -212,7 +224,7 @@ def fused_dense_tanh_jet(
     b: jnp.ndarray,     # (d_out,)
     block_n: int = 64,
     block_c: int = 128,
-    block_t: int = 8,
+    block_t: int | None = None,
     jac_precision=jax.lax.Precision.HIGHEST,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(val_out, jac_out, lap_out) of the tanh(dense(.)) jet rule."""
@@ -220,6 +232,8 @@ def fused_dense_tanh_jet(
     d_out = w.shape[1]
     bn = min(block_n, _round_up(n, 8))
     bc = min(block_c, _round_up(d_out, 128))
+    if block_t is None:
+        block_t = _default_block_t()
     bt = min(block_t, t_dim)
 
     n_pad = _round_up(n, bn)
@@ -391,6 +405,8 @@ def _fused_mix_call(kernel, n_outs, val, jac, lap, zbc, lbc, jbc, w, b,
     d_out = w.shape[1]
     bn = min(block_n, _round_up(n, 8))
     bc = min(block_c, _round_up(d_out, 128))
+    if block_t is None:
+        block_t = _default_block_t()
     bt = min(block_t, t_dim)
 
     n_pad = _round_up(n, bn)
@@ -461,7 +477,7 @@ def fused_dense_tanh_jet_mix(
     w, b,                # (d_in, d_out), (d_out,)
     block_n: int = 64,
     block_c: int = 128,
-    block_t: int = 8,
+    block_t: int | None = None,
     jac_precision=jax.lax.Precision.HIGHEST,
 ):
     """(val_out, jac_out, lap_out) of tanh(dense_rv(.) + broadcast(.))."""
@@ -480,7 +496,7 @@ def fused_dense_tanh_jet_mix_partial(
     val, jac, lap, zbc, lbc, jbc, w, b,
     block_n: int = 64,
     block_c: int = 128,
-    block_t: int = 8,
+    block_t: int | None = None,
     jac_precision=jax.lax.Precision.HIGHEST,
 ):
     """Mix kernel emitting (val_out, jac_out, lap_part, s_local) for a
