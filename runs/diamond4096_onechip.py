@@ -32,6 +32,6 @@ cfg.optim.kfac.damping_adaptation_interval = 10
 cfg.log.save_path = SAVE
 cfg.log.save_frequency = 30.0
 cfg.log.stats_frequency = 1
-cfg.batch_size = 4096
+cfg.batch_size = int(sys.argv[4]) if len(sys.argv) > 4 else 4096
 cfg.optim.iterations = 85  # cumulative: restores at step 60 from stage 2
 process.process(cfg)
