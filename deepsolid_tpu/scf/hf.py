@@ -534,23 +534,30 @@ def run_uhf(sc: Supercell, shells, kpts, beta: float = None,
         h_k, s_k, sr, lr, xi, e_nn, n_occ, dm, nk,
         max_cycle=max_cycle, conv_tol=conv_tol,
     )
-    if not result.converged:
-        # rescue pass for oscillating cases (diffuse/near-degenerate
-        # bases): restart from the best density with a level shift on
-        # the virtuals + Fock damping before DIIS engages. PySCF's
-        # level_shift/damp knobs serve the same role in the reference's
-        # bridge; the expensive SR/LR blocks are reused.
+    # Rescue ladder for oscillating cases (diffuse/near-degenerate
+    # bases): restart from the best density with a level shift on the
+    # virtuals + Fock damping before DIIS engages; escalate the shift if
+    # the oscillation survives (e.g. Si diamond et-dz bounces between two
+    # occupation fixed points that 0.3 Ha does not separate). PySCF's
+    # level_shift/damp knobs serve the same role in the reference's
+    # bridge; the expensive SR/LR blocks are reused across attempts.
+    rescue_ladder = (
+        dict(level_shift=0.3, damp=0.5, diis_start_cycle=5),
+        dict(level_shift=1.0, damp=0.8, diis_start_cycle=12),
+    )
+    for attempt in rescue_ladder:
+        if result.converged:
+            break
         logging.info(
             "run_uhf: not converged in %d cycles (E=%.8f), retrying "
-            "with level_shift=0.3 damp=0.5", result.n_cycles,
-            result.e_tot,
+            "with level_shift=%.1f damp=%.1f", result.n_cycles,
+            result.e_tot, attempt["level_shift"], attempt["damp"],
         )
         dm = [_density(result.c[s], _fill_aufbau(result.eps[s], n_occ[s]))
               for s in range(2)]
         result = _scf_cycles(
             h_k, s_k, sr, lr, xi, e_nn, n_occ, dm, nk,
-            max_cycle=max_cycle, conv_tol=conv_tol,
-            level_shift=0.3, damp=0.5, diis_start_cycle=5,
+            max_cycle=max_cycle, conv_tol=conv_tol, **attempt,
         )
         if result.converged:
             # one unshifted build+solve from the converged density so the
