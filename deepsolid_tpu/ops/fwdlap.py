@@ -416,9 +416,22 @@ def slogdet_jet(mat: Jet, axis_name=None) -> Tuple[jnp.ndarray, Jet]:
     # precision.
     n = a.shape[-1]
     a_inv = solve(jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape))
-    # (T, ..., n, n) = A^-1 J_t; tangent-axis batched matmul — rides the
-    # tangent precision tier (see set_tangent_precision)
-    b = jnp.matmul(a_inv[None], mat.jac, precision=_TANGENT_PRECISION)
+    # (T, ..., n, n) = A^-1 J_t; tangent-axis batched matmuls — ride the
+    # tangent precision tier (see set_tangent_precision). For complex
+    # dets the product is formed with the 3-multiplication Gauss split
+    # (p1=Re*Re, p2=Im*Im, p3=(Re+Im)(Re+Im)) instead of the 4 real
+    # matmuls of a naive complex lowering — 25% off the biggest det-head
+    # matmul.
+    if jnp.iscomplexobj(a):
+        ar, ai = a_inv.real[None], a_inv.imag[None]
+        jr, ji = mat.jac.real, mat.jac.imag
+        mm = functools.partial(jnp.matmul, precision=_TANGENT_PRECISION)
+        p1 = mm(ar, jr)
+        p2 = mm(ai, ji)
+        p3 = mm(ar + ai, jr + ji)
+        b = jax.lax.complex(p1 - p2, p3 - p1 - p2)
+    else:
+        b = jnp.matmul(a_inv[None], mat.jac, precision=_TANGENT_PRECISION)
     jac = jnp.trace(b, axis1=-2, axis2=-1)  # (T, ...)
     # tr(A^-1 L) as an inner product with the materialized inverse —
     # saves the n^3 LU solve a trace-of-solve would spend on off-diagonal
