@@ -120,6 +120,19 @@ def default() -> ml_collections.ConfigDict:
                 "init_width": 0.8,
                 "move_width": 0.02,
                 "adapt_frequency": 100,
+                # Proposal-kind guidance (measured on the trained H10
+                # state, runs/sampler_autocorr.json; reference marks both
+                # alternatives "untested", qmc.py:83-287):
+                #   importance_sampling (Langevin drift) decorrelates the
+                #   slow polarization mode ~7x cheaper per |psi|^2 eval
+                #   (~2.5x in wall-clock incl. the value_and_grad cost)
+                #   than all-electron moves — worth enabling when long-
+                #   wavelength observables or small-acceptance systems
+                #   dominate the error bar.
+                #   one_electron is at cost PARITY per eval (IAT_moves
+                #   ~n_elec times smaller, but each sweep costs n_elec
+                #   full evals — no low-rank determinant updates here or
+                #   upstream) and is not worth its n_elec-fold eval count.
                 "importance_sampling": False,
                 "one_electron": False,
             },

