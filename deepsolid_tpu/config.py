@@ -161,6 +161,12 @@ def default() -> ml_collections.ConfigDict:
                 # analysis, and return without executing — for diagnosing
                 # HBM ceilings at production batch sizes
                 "compile_only": False,
+                # '' = auto (Pallas fused jet kernels on TPU/f32);
+                # 'on'/'off' to force. 'off' isolates the Mosaic pass
+                # when a remote compile hangs (the batch-4096 probe,
+                # docs/ROADMAP.md) at the cost of the fused-kernel VMEM
+                # residency.
+                "fused_kernels": "",
             },
             "pretrain": {
                 "method": "net",  # 'net' | 'hf' | 'none'

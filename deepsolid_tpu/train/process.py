@@ -97,6 +97,9 @@ def process(cfg, max_iterations: Optional[int] = None):
     fwdlap.set_tangent_precision(
         cfg.get("tangent_matmul_precision", None) or None
     )
+    fused = cfg.debug.get("fused_kernels", "")
+    if fused:
+        fwdlap.set_fused_kernels(fused == "on")
 
     deriv_devices = int(cfg.get("parallel", {}).get("deriv_devices", 1))
     deriv_axis = DERIV_AXIS if deriv_devices > 1 else None
