@@ -117,3 +117,46 @@ def test_local_energy_forward_mode():
     ke2, ew2 = el_ref(params, x)
     np.testing.assert_allclose(complex(ke1), complex(ke2), rtol=1e-7)
     np.testing.assert_allclose(float(ew1), float(ew2), rtol=1e-10)
+
+
+def test_slogdet_jet_complex_against_autodiff():
+    """Direct f64 oracle for the complex det head (incl. the Gauss
+    3-multiplication split of A^-1 J_t): jet of log det A(z) for a dense
+    complex matrix-valued function vs jacfwd/hessian."""
+    rng = np.random.RandomState(3)
+    n, m = 4, 5  # n x n complex matrix, m tangent directions
+    w_re = jnp.asarray(rng.randn(m, n * n))
+    w_im = jnp.asarray(rng.randn(m, n * n))
+    base = jnp.asarray(rng.randn(n, n) + 1j * rng.randn(n, n) + 4 * np.eye(n))
+
+    def mat(z):
+        d = (z @ w_re + 1j * (z @ w_im))
+        return base + (d + 0.1 * d * d).reshape(n, n)  # nonzero laplacian
+
+    def logdet(z):
+        sign, l = jnp.linalg.slogdet(mat(z))
+        return l + jnp.log(sign)
+
+    z0 = jnp.asarray(rng.randn(m))
+    seed = fl.Jet(z0, jnp.eye(m), jnp.zeros(m))
+    d = fl.complexify(fl.dense(seed, w_re), fl.dense(seed, w_im))
+    quad = fl.mul(d, d)
+    flat = fl.Jet(d.val + 0.1 * quad.val, d.jac + 0.1 * quad.jac,
+                  d.lap + 0.1 * quad.lap)
+    mjet = fl.linear_op(lambda v: v.reshape(v.shape[:-1] + (n, n)), flat)
+    mjet = fl.Jet(base + mjet.val, mjet.jac, mjet.lap)
+    sign, out = fl.slogdet_jet(mjet)
+
+    np.testing.assert_allclose(
+        np.asarray(out.val + jnp.log(sign)), np.asarray(logdet(z0)),
+        rtol=1e-9, atol=1e-12,
+    )
+    jac = jax.jacfwd(logdet)(z0)
+    np.testing.assert_allclose(np.asarray(out.jac), np.asarray(jac),
+                               rtol=1e-8, atol=1e-10)
+    # jax.hessian = jacrev(jacfwd) rejects complex outputs; the input is
+    # real so double-jacfwd is the right oracle
+    hess = jax.jacfwd(jax.jacfwd(logdet))(z0)
+    lap = jnp.trace(hess, axis1=-2, axis2=-1)
+    np.testing.assert_allclose(np.asarray(out.lap), np.asarray(lap),
+                               rtol=1e-8, atol=1e-10)
