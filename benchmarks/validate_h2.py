@@ -16,7 +16,8 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def main(iterations=1500, batch=1024, L=20.0, optimizer="kfac", lr=0.05):
+def main(iterations=1500, batch=1024, L=20.0, optimizer="kfac", lr=0.05,
+         precision="float32"):
     from deepsolid_tpu import config as config_lib
     from deepsolid_tpu.system import Atom, Cell, make_supercell
     from deepsolid_tpu.train import process
@@ -29,6 +30,7 @@ def main(iterations=1500, batch=1024, L=20.0, optimizer="kfac", lr=0.05):
     cfg = config_lib.default()
     cfg.system.cell = make_supercell(cell, np.eye(3))
     cfg.system.basis = "sto-3g"
+    cfg.precision = precision
     cfg.batch_size = batch
     cfg.optim.iterations = iterations
     cfg.optim.optimizer = optimizer
@@ -45,7 +47,9 @@ def main(iterations=1500, batch=1024, L=20.0, optimizer="kfac", lr=0.05):
     cfg.pretrain.iterations = 200
     # L in the path: a shared directory would make run N restore run N-1's
     # final checkpoint (different Hamiltonian) and skip training entirely
-    cfg.log.save_path = f"/tmp/h2_validation_{optimizer}_b{batch}_L{L:g}"
+    cfg.log.save_path = (
+        f"/tmp/h2_validation_{optimizer}_b{batch}_L{L:g}_{precision}"
+    )
     cfg.log.stats_frequency = 10
     cfg.log.save_frequency = 1e9
 
