@@ -51,6 +51,10 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    # optional section filter, e.g. "det" to skip the expensive full/kinetic
+    # traces while iterating on det-head kernels
+    sections = sys.argv[3].split(",") if len(sys.argv) > 3 else [
+        "full", "kinetic", "det"]
 
     from deepsolid_tpu.hamiltonian import make_local_energy
     from deepsolid_tpu.models.fwdlap_forward import make_kinetic_forward
@@ -73,37 +77,42 @@ def main():
     out = {"batch": batch, "chunk": chunk, "n_elec": int(sc.nelectron)}
 
     # ---- full local energy ------------------------------------------------
-    el = make_local_energy(net.logdet, sc, mode="forward", network=net)
-    vm_el = jax.vmap(el, in_axes=(None, 0))
+    if "full" in sections:
+        el = make_local_energy(net.logdet, sc, mode="forward", network=net)
+        vm_el = jax.vmap(el, in_axes=(None, 0))
 
-    def full_fn(p, d):
-        ke, ew = chunked(vm_el)(p, d)
-        return ke.real.mean() + ew.mean()
+        def full_fn(p, d):
+            ke, ew = chunked(vm_el)(p, d)
+            return ke.real.mean() + ew.mean()
 
-    dt = _scan_time(
-        full_fn, (params, data), 3,
-        lambda a, i, c: (a[0], a[1] + 1e-4 * (i + 2.0) + 1e-30 * c),
-    )
-    out["full_el_walkers_per_s"] = batch / dt
+        dt = _scan_time(
+            full_fn, (params, data), 3,
+            lambda a, i, c: (a[0], a[1] + 1e-4 * (i + 2.0) + 1e-30 * c),
+        )
+        out["full_el_walkers_per_s"] = batch / dt
 
     # ---- kinetic only -----------------------------------------------------
-    kin = make_kinetic_forward(net)
-    vm_kin = jax.vmap(kin, in_axes=(None, 0))
+    if "kinetic" in sections:
+        kin = make_kinetic_forward(net)
+        vm_kin = jax.vmap(kin, in_axes=(None, 0))
 
-    def kin_fn(p, d):
-        return chunked(vm_kin)(p, d).real.mean()
+        def kin_fn(p, d):
+            return chunked(vm_kin)(p, d).real.mean()
 
-    dt = _scan_time(
-        kin_fn, (params, data), 3,
-        lambda a, i, c: (a[0], a[1] + 1e-4 * (i + 2.0) + 1e-30 * c),
-    )
-    out["kinetic_walkers_per_s"] = batch / dt
+        dt = _scan_time(
+            kin_fn, (params, data), 3,
+            lambda a, i, c: (a[0], a[1] + 1e-4 * (i + 2.0) + 1e-30 * c),
+        )
+        out["kinetic_walkers_per_s"] = batch / dt
 
     # (ewald is cheap and fused with E_L; estimate = full - kinetic)
 
     # ---- det head only ----------------------------------------------------
     # jets of the two spin-block orbital matrices at production shape:
     # (ndet, ns, ns) complex, T = 3N tangents
+    if "det" not in sections:
+        print(json.dumps(out, indent=1))
+        return
     n3 = sc.nelectron * 3
     ndet = 8
     blocks = [s for s in (sc.nelec[0], sc.nelec[1]) if s > 0]
@@ -149,12 +158,69 @@ def main():
     out["det_head_walkers_per_s"] = det_chunk / dt
     out["det_head_chunk"] = det_chunk
 
-    out["det_head_share_est"] = (
-        out["full_el_walkers_per_s"] / out["det_head_walkers_per_s"]
+    if "full" in sections:
+        out["det_head_share_est"] = (
+            out["full_el_walkers_per_s"] / out["det_head_walkers_per_s"]
+        )
+        if "kinetic" in sections:
+            out["kinetic_share"] = (
+                out["full_el_walkers_per_s"] / out["kinetic_walkers_per_s"]
+            )
+
+    # ---- det head split: factorization vs tangent matmuls -----------------
+    # (a) LU + explicit inverse + slogdet only — the sequential/lane-hostile
+    # part a Pallas lane-batched Gauss-Jordan would replace;
+    # (b) the T tangent Gauss-split matmuls + trace reductions only — the
+    # MXU part the tangent precision tier accelerates. Together they bound
+    # which kernel investment pays.
+    def lu_fn(v):
+        lu, piv = jax.scipy.linalg.lu_factor(v)
+        sign, logdet = jnp.linalg.slogdet(v)
+        n = v.shape[-1]
+        a_inv = jax.scipy.linalg.lu_solve(
+            (lu, piv), jnp.broadcast_to(jnp.eye(n, dtype=v.dtype), v.shape)
+        )
+        return a_inv.real.mean() + logdet.real.mean()
+
+    def lu_all(*vals):
+        return sum(lu_fn(v) for v in vals)
+
+    vals = tuple(j.val for j in jets)
+    dt = _scan_time(
+        lu_all, vals, 3,
+        lambda a, i, c: tuple(x + (1e-6 * (i + 1.0) + 1e-30 * c) for x in a),
     )
-    out["kinetic_share"] = (
-        out["full_el_walkers_per_s"] / out["kinetic_walkers_per_s"]
+    out["det_lu_inverse_walkers_per_s"] = det_chunk / dt
+
+    def tang_fn(*flat):
+        import functools
+
+        total = 0.0
+        for k in range(len(blocks)):
+            a_inv, jac = flat[2 * k], flat[2 * k + 1]
+            ar, ai = a_inv.real[:, None], a_inv.imag[:, None]
+            jr, ji = jac.real, jac.imag
+            mm = functools.partial(jnp.matmul, precision=fl._TANGENT_PRECISION)
+            p1 = mm(ar, jr)
+            p2 = mm(ai, ji)
+            p3 = mm(ar + ai, jr + ji)
+            br, bi = p1 - p2, p3 - p1 - p2
+            jac_tr = jnp.trace(br, axis1=-2, axis2=-1)
+            lap2 = jnp.sum(br * jnp.swapaxes(br, -1, -2)
+                           - bi * jnp.swapaxes(bi, -1, -2), axis=(-1, -2))
+            total = total + jac_tr.sum() + lap2.sum()
+        return total
+
+    # jac laid out (b, T, ndet, ns, ns) so the per-walker batch leads
+    flat_tang = []
+    for j in jets:
+        flat_tang += [j.val, jnp.moveaxis(j.jac, 0, 1)]
+    dt = _scan_time(
+        tang_fn, tuple(flat_tang), 3,
+        lambda a, i, c: tuple(x + (1e-6 * (i + 1.0) + 1e-30 * c) for x in a),
     )
+    out["det_tangent_matmuls_walkers_per_s"] = det_chunk / dt
+
     print(json.dumps(out, indent=1))
 
 
