@@ -167,6 +167,11 @@ def default() -> ml_collections.ConfigDict:
                 # docs/ROADMAP.md) at the cost of the fused-kernel VMEM
                 # residency.
                 "fused_kernels": "",
+                # '' = auto (Pallas lane-batched Gauss-Jordan det-head
+                # inverse; currently opt-in pending the on-chip A/B,
+                # env DEEPSOLID_TPU_DET_KERNEL also applies);
+                # 'on'/'off' to force, 'interpret' for CPU tests
+                "det_kernel": "",
             },
             "pretrain": {
                 "method": "net",  # 'net' | 'hf' | 'none'

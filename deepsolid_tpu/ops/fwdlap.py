@@ -397,25 +397,66 @@ def dense_row_mean_from_pairs(
 # ---------------------------------------------------------------------------
 
 
+_DET_KERNEL = None  # None = auto; True/False/'interpret' to force
+
+
+def set_det_kernel(enabled):
+    """Force the Pallas lane-batched det-head inverse kernel on/off.
+
+    `enabled`: None (auto — currently off pending the on-chip A/B; env
+    DEEPSOLID_TPU_DET_KERNEL=on|off overrides), True/False, or
+    'interpret' (Pallas interpreter, for CPU tests of the integrated
+    path)."""
+    global _DET_KERNEL
+    _DET_KERNEL = enabled
+
+
+def _use_det_kernel(a) -> bool | str:
+    # the kernel computes in f32 planes: complex64 inputs only (f64
+    # runs — CPU re-evals, precision anchors — keep the LAPACK path)
+    if a.dtype != jnp.complex64:
+        return False
+    if _DET_KERNEL is not None:
+        return _DET_KERNEL
+    import os
+
+    env = os.environ.get("DEEPSOLID_TPU_DET_KERNEL", "")
+    if env:
+        return env == "on"
+    return False
+
+
 def slogdet_jet(mat: Jet, axis_name=None) -> Tuple[jnp.ndarray, Jet]:
     """(sign, jet of log det A) for a jet of square matrices (..., n, n).
 
     For each matrix: d log det = tr(A^-1 dA);
     Lap log det = tr(A^-1 Lap A) - sum_t tr((A^-1 J_t A)(A^-1 J_t A)).
-    One LU per matrix (vs 3N in JVP-of-grad engines).
+    One factorization per matrix (vs 3N in JVP-of-grad engines) — either
+    XLA's LU or the Pallas lane-batched Gauss-Jordan kernel
+    (ops/pallas/det_kernels.py), which runs 128 matrices per VPU pass
+    with the walker/det batch across lanes.
     """
     a = mat.val
-    lu, piv = jax.scipy.linalg.lu_factor(a)
-    sign, logdet = jnp.linalg.slogdet(a)
+    use_kernel = _use_det_kernel(a)
+    if use_kernel:
+        from deepsolid_tpu.ops.pallas import det_kernels
 
-    solve = functools.partial(jax.scipy.linalg.lu_solve, (lu, piv))
-    # Explicit inverse (one LU solve on the identity), then the T
-    # per-tangent products A^-1 J_t ride the MXU as batched matmuls —
-    # T triangular solves would serialize on TPU. Same LU, same
-    # conditioning; one extra matmul rounding, negligible at full-f32
-    # precision.
-    n = a.shape[-1]
-    a_inv = solve(jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape))
+        fn = (det_kernels.gj_inverse_slogdet_interpret
+              if use_kernel == "interpret"
+              else det_kernels.gj_inverse_slogdet)
+        a_inv, sign, logdet = fn(a)
+    else:
+        lu, piv = jax.scipy.linalg.lu_factor(a)
+        sign, logdet = jnp.linalg.slogdet(a)
+
+        solve = functools.partial(jax.scipy.linalg.lu_solve, (lu, piv))
+        # Explicit inverse (one LU solve on the identity), then the T
+        # per-tangent products A^-1 J_t ride the MXU as batched matmuls —
+        # T triangular solves would serialize on TPU. Same LU, same
+        # conditioning; one extra matmul rounding, negligible at full-f32
+        # precision.
+        n = a.shape[-1]
+        a_inv = solve(jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape))
     # (T, ..., n, n) = A^-1 J_t; tangent-axis batched matmuls — ride the
     # tangent precision tier (see set_tangent_precision). For complex
     # dets the product is formed with the 3-multiplication Gauss split

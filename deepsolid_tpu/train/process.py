@@ -100,6 +100,11 @@ def process(cfg, max_iterations: Optional[int] = None):
     fused = cfg.debug.get("fused_kernels", "")
     if fused:
         fwdlap.set_fused_kernels(fused == "on")
+    det_kernel = cfg.debug.get("det_kernel", "")
+    if det_kernel:
+        fwdlap.set_det_kernel(
+            det_kernel if det_kernel == "interpret" else det_kernel == "on"
+        )
 
     deriv_devices = int(cfg.get("parallel", {}).get("deriv_devices", 1))
     deriv_axis = DERIV_AXIS if deriv_devices > 1 else None
