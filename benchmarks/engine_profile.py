@@ -192,6 +192,37 @@ def main():
     )
     out["det_lu_inverse_walkers_per_s"] = det_chunk / dt
 
+    # (a') same factorization+inverse via the Pallas lane-batched
+    # Gauss-Jordan kernel (ops/pallas/det_kernels.py) — the A/B that
+    # decides whether debug.det_kernel flips to auto-on
+    from deepsolid_tpu.ops.pallas.det_kernels import gj_inverse_slogdet
+
+    def gj_all(*vals):
+        total = 0.0
+        for v in vals:
+            a_inv, sign, logabs = gj_inverse_slogdet(v)
+            total = total + a_inv.real.mean() + logabs.mean()
+        return total
+
+    dt = _scan_time(
+        gj_all, vals, 3,
+        lambda a, i, c: tuple(x + (1e-6 * (i + 1.0) + 1e-30 * c) for x in a),
+    )
+    out["det_gj_kernel_walkers_per_s"] = det_chunk / dt
+
+    # full det head with the kernel forced on (trace-time dispatch)
+    fl.set_det_kernel(True)
+    try:
+        dt = _scan_time(
+            det_fn, tuple(flat), 3,
+            lambda a, i, c: tuple(x + (1e-6 * (i + 1.0) + 1e-30 * c
+                                       if x.ndim == 4 else 0.0)
+                                  for x in a),
+        )
+        out["det_head_kernel_walkers_per_s"] = det_chunk / dt
+    finally:
+        fl.set_det_kernel(None)
+
     def tang_fn(*flat):
         import functools
 

@@ -36,7 +36,12 @@ echo "queue: starting at $(date -u), stop at $(date -u -d @"$STOP")"
 run_item bench 2400 python bench.py
 
 # 2. component-level timing: where do the milliseconds go?
+#    (includes the det GJ-kernel vs XLA-LU A/B, ops/pallas/det_kernels.py)
 run_item engine_profile 2400 python benchmarks/engine_profile.py 256 64
+
+# 2b. end-to-end bench with the det kernel forced on: if this beats the
+#     item-1 capture, flip debug.det_kernel auto to TPU-on
+run_item bench_detk 2400 env DEEPSOLID_TPU_DET_KERNEL=on python bench.py
 
 # 3a. tangent-tier rate A/B on the bench network
 run_item tangent_ab_rate 2400 python benchmarks/tangent_prec_ab.py - diamond-bench
