@@ -4,10 +4,10 @@ Closes the orbital-source generality gap vs the reference, which handles
 any element by delegating SCF to PySCF's built-in basis library
 (DeepSolid/hf.py:26, setup.py:23). Instead of hand-copying per-element
 Gaussian tables, this module *generates* a DZ-quality contracted basis
-for any element with only s/p occupancy (Z <= 20):
+for any element with s/p/d occupancy (Z <= 30, H through Zn):
 
-  1. Build a large even-tempered primitive bath (s and p) covering the
-     core-to-valence exponent range for the element.
+  1. Build a large even-tempered primitive bath (s/p, plus d for the
+     3d row) covering the core-to-valence exponent range.
   2. Run free-space atomic UHF (scf/molecular.py) in the uncontracted
      bath. With ~20 s / ~12 p primitives at ratio ~2.3 this lands within
      a few mHa of the numerical Hartree-Fock limit — certified against
@@ -37,13 +37,14 @@ import numpy as np
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), "_etdz_cache")
 _MEM_CACHE: Dict[int, List[Tuple[int, np.ndarray, np.ndarray]]] = {}
 
-MAX_Z = 20  # occupied shells are s/p only through Ca (3d starts at Sc)
+MAX_Z = 30  # s/p/d occupancy through Zn (4f starts at Ce; l<=2 integrals)
 
 # number of occupied radial functions per l for the neutral atom
-def _n_occ_radial(z: int) -> Tuple[int, int]:
+def _n_occ_radial(z: int) -> Tuple[int, int, int]:
     n_s = 1 + (z >= 3) + (z >= 11) + (z >= 19)
     n_p = (z >= 5) + (z >= 13)
-    return n_s, n_p
+    n_d = int(z >= 21)
+    return n_s, n_p, n_d
 
 
 # Polarization exponents (single shell of l_occ_max + 1). Values follow
@@ -84,6 +85,14 @@ def bath_exponents(z: int) -> Dict[int, np.ndarray]:
         # Li/Be: no occupied p, but valence p is chemically essential
         # (cc-pVDZ ships 2p for Li) — a small uncontracted valence set
         out[1] = np.geomspace(0.05, 1.5, 4)[::-1].copy()
+    if z >= 21:
+        # 3d bath: Wachters-style ranges (Zn 3d tops out near ~90;
+        # 0.25*z^2 = 225 leaves headroom), compact to mildly diffuse
+        b_d = 2.3
+        a_max_d = 0.25 * z**2
+        a_min_d = 0.08
+        n_d = int(np.ceil(np.log(a_max_d / a_min_d) / np.log(b_d))) + 1
+        out[2] = np.geomspace(a_min_d, a_max_d, n_d)[::-1].copy()
     return out
 
 
@@ -191,20 +200,26 @@ def _radial_contractions(c_occ: np.ndarray, shells, l: int,
     return u[:, :n_keep]
 
 
-def generate_dz_tables(z: int) -> List[Tuple[int, np.ndarray, np.ndarray]]:
-    """[(l, exponents, coefficients-over-normalized-primitives), ...]."""
+def generate_dz_tables(z: int):
+    """([(l, exponents, coefs-over-normalized-primitives), ...], e_bath).
+
+    `e_bath` is the uncontracted-bath atomic UHF total energy — stored in
+    the cache so literature pins can certify committed tables without
+    re-running the (hours-scale for 3d elements) generation."""
     if not (1 <= z <= MAX_Z):
         raise NotImplementedError(
-            f"et-dz generator covers Z=1..{MAX_Z} (s/p occupancy); got Z={z}. "
-            "Occupied-d elements need explicit tables in scf/basis.py."
+            f"et-dz generator covers Z=1..{MAX_Z} (s/p/d occupancy); got "
+            f"Z={z}. Occupied-f elements need l=3 integrals "
+            "(scf/integrals.CART stops at d)."
         )
     bath = bath_exponents(z)
     e_bath, c_occ, shells = _atomic_uhf(z, bath)
-    n_s, n_p = _n_occ_radial(z)
+    n_s, n_p, n_d = _n_occ_radial(z)
+    n_occ = {0: n_s, 1: n_p, 2: n_d}
     out: List[Tuple[int, np.ndarray, np.ndarray]] = []
-    free = {0: 2, 1: 2}  # uncontracted diffuse primitives per l
+    free = {0: 2, 1: 2, 2: 2}  # uncontracted diffuse primitives per l
     for l, exps in sorted(bath.items()):
-        n_occ_l = n_s if l == 0 else n_p
+        n_occ_l = n_occ[l]
         if n_occ_l > 0:
             contr = _radial_contractions(c_occ, shells, l, n_occ_l)
             for k in range(n_occ_l):
@@ -214,9 +229,12 @@ def generate_dz_tables(z: int) -> List[Tuple[int, np.ndarray, np.ndarray]]:
         n_free = free[l] if n_occ_l > 0 else len(exps)
         for a in np.sort(exps)[:n_free]:
             out.append((l, np.array([a]), np.array([1.0])))
-    l_pol, a_pol = _POLARIZATION[z]
-    out.append((l_pol, np.array([a_pol]), np.array([1.0])))
-    return out
+    if z in _POLARIZATION:
+        # occupied-d elements (Z >= 21) skip this: their d manifold is
+        # already split-valence, and l=3 polarization needs f integrals
+        l_pol, a_pol = _POLARIZATION[z]
+        out.append((l_pol, np.array([a_pol]), np.array([1.0])))
+    return out, e_bath
 
 
 def _cache_path(z: int) -> str:
@@ -235,9 +253,9 @@ def dz_shells_for_atom(z: int) -> List[Tuple[int, np.ndarray, np.ndarray]]:
                 (int(f[f"l{i}"]), f[f"e{i}"], f[f"c{i}"]) for i in range(n)
             ]
     else:
-        tables = generate_dz_tables(z)
+        tables, e_bath = generate_dz_tables(z)
         os.makedirs(_CACHE_DIR, exist_ok=True)
-        payload = {"n": np.asarray(len(tables))}
+        payload = {"n": np.asarray(len(tables)), "e_bath": np.asarray(e_bath)}
         for i, (l, e, c) in enumerate(tables):
             payload[f"l{i}"] = np.asarray(l)
             payload[f"e{i}"] = e
@@ -245,3 +263,13 @@ def dz_shells_for_atom(z: int) -> List[Tuple[int, np.ndarray, np.ndarray]]:
         np.savez(path, **payload)
     _MEM_CACHE[z] = tables
     return [(l, e.copy(), c.copy()) for l, e, c in tables]
+
+
+def bath_energy(z: int):
+    """Cached bath UHF total energy for Z, or None (pre-round-3 caches
+    did not store it)."""
+    path = _cache_path(z)
+    if not os.path.exists(path):
+        dz_shells_for_atom(z)  # generates and caches
+    with np.load(path) as f:
+        return float(f["e_bath"]) if "e_bath" in f else None
