@@ -6,8 +6,9 @@ coefficients are shell-universal (Hehre, Stewart & Pople, JCP 51, 2657
 (1969); third row: JCP 52, 2769 (1970)). Supported elements: Z = 1..18.
 
 'et-dz' (scf/etdz.py) generates a DZ-quality contracted basis for ANY
-element Z <= 20 from the atom's own even-tempered-bath UHF — the
-element-general path matching the reference's any-element PySCF bridge.
+element Z <= 30 (s/p/d occupancy, H through Zn) from the atom's own
+even-tempered-bath UHF — the element-general path matching the
+reference's any-element PySCF bridge.
 
 cc-pVDZ carries explicit Dunning correlation-consistent tables
 (JCP 90, 1007 (1989); Li from Prascher et al., Theor Chem Acc 128, 69

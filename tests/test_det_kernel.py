@@ -110,3 +110,66 @@ def test_slogdet_jet_det_kernel_integration():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(jet1.lap), np.asarray(jet0.lap),
                                rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# value path (ops/slogdet.slogdet_op): kernel forward + exact custom VJP
+# ---------------------------------------------------------------------------
+
+
+def test_slogdet_op_kernel_value_and_vjp():
+    """slogdet_op with the kernel: values match jnp.linalg.slogdet, and
+    the custom VJP (linear transpose of the slogdet JVP rule over the
+    kernel's saved inverse) matches jnp's autodiff cotangents."""
+    from deepsolid_tpu.ops import slogdet as slog
+
+    a = _random_complex((4, 7, 7), seed=21) + 1.5 * jnp.eye(
+        7, dtype=jnp.complex64
+    )
+    want = jnp.linalg.slogdet(a)
+    fl.set_det_kernel("interpret")
+    try:
+        got, vjp_got = jax.vjp(slog.slogdet_op, a)
+    finally:
+        fl.set_det_kernel(None)
+    _, vjp_want = jax.vjp(jnp.linalg.slogdet, a)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               rtol=1e-5, atol=1e-5)
+    rng = np.random.RandomState(0)
+    ct = (
+        jnp.asarray(rng.randn(4) + 1j * rng.randn(4), jnp.complex64),
+        jnp.asarray(rng.randn(4), np.asarray(want[1]).dtype),
+    )
+    (ga,) = vjp_got(ct)
+    # jnp.linalg.slogdet returns a SlogdetResult namedtuple; its vjp
+    # demands the same pytree type for the cotangents
+    (wa,) = vjp_want(type(want)(*ct))
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(wa),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_logdet_matmul_kernel_grad_end_to_end():
+    """Gradient of log|psi| through logdet_matmul agrees between the
+    kernel path and the default path (the loss/KFAC consumers)."""
+    from deepsolid_tpu.ops.slogdet import logdet_matmul
+
+    ndet, n = 3, 5
+    xs0 = _random_complex((ndet, n, n), seed=31) + 1.2 * jnp.eye(
+        n, dtype=jnp.complex64
+    )
+    w = jnp.asarray(np.random.RandomState(1).randn(ndet), jnp.float32)
+
+    def f(x):
+        phase, logmag = logdet_matmul([x], w)
+        return logmag.real.sum()
+
+    g0 = jax.grad(f)(xs0)
+    fl.set_det_kernel("interpret")
+    try:
+        g1 = jax.grad(f)(xs0)
+    finally:
+        fl.set_det_kernel(None)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=2e-4, atol=2e-4)
