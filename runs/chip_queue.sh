@@ -43,6 +43,9 @@ run_item engine_profile 2400 python benchmarks/engine_profile.py 256 64
 #     item-1 capture, flip debug.det_kernel auto to TPU-on
 run_item bench_detk 2400 env DEEPSOLID_TPU_DET_KERNEL=on python bench.py
 
+# 2c. full-train-step A/B of the det kernel (sampler value path + jets)
+run_item detk_step_ab 6000 python runs/detk_step_ab.py
+
 # 3a. tangent-tier rate A/B on the bench network
 run_item tangent_ab_rate 2400 python benchmarks/tangent_prec_ab.py - diamond-bench
 # 3b. tangent-tier accuracy A/B on the trained LiH state
