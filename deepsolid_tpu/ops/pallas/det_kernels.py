@@ -69,9 +69,18 @@ def _gj_kernel(ar_ref, ai_ref, ar_o, ai_o, acc_o, m_scr, *, n_pad):
     acc_o[:] = jnp.zeros_like(acc_o)
     acc_o[1:2, :] = jnp.ones_like(acc_o[1:2, :])
 
+    # NOTE on lowering: dynamic indexing only ever rides the UNTILED
+    # leading axis (rows of the (n, n, lanes) planes; dim 0 of the 3-D
+    # m_scr scratch). Columns — the sublane axis — are always selected by
+    # masked reductions, which Mosaic vectorizes unconditionally.
+
     def fwd(k, _):
-        cr = ar_o[:, pl.ds(k, 1), :]  # (n, 1, bl): column k
-        ci = ai_o[:, pl.ds(k, 1), :]
+        is_k_col = iota_c == k
+        # column k via masked reduction over the sublane axis
+        cr = jnp.sum(jnp.where(is_k_col, ar_o[:], 0.0), axis=1,
+                     keepdims=True)  # (n, 1, bl)
+        ci = jnp.sum(jnp.where(is_k_col, ai_o[:], 0.0), axis=1,
+                     keepdims=True)
 
         # per-lane partial pivot among rows >= k
         unused = iota_r >= k
@@ -79,7 +88,7 @@ def _gj_kernel(ar_ref, ai_ref, ar_o, ai_o, acc_o, m_scr, *, n_pad):
         mx = jnp.max(mag, axis=0, keepdims=True)
         is_max = jnp.logical_and(mag == mx, unused)
         m = jnp.min(jnp.where(is_max, iota_r, n_pad), axis=0, keepdims=True)
-        m_scr[pl.ds(k, 1), :] = m.reshape(1, bl)
+        m_scr[pl.ds(k, 1)] = m  # (1, 1, bl)
 
         onehot_m = iota_r == m      # (n, 1, bl)
         is_k_row = iota_r == k
@@ -132,7 +141,6 @@ def _gj_kernel(ar_ref, ai_ref, ar_o, ai_o, acc_o, m_scr, *, n_pad):
         # column k holds the inverse's multipliers: -f*d (d at the pivot)
         nfd_r = -(f_r * dr - f_i * di)
         nfd_i = -(f_r * di + f_i * dr)
-        is_k_col = iota_c == k
         new_r = jnp.where(is_k_col, jnp.where(is_k_row, dr, nfd_r), new_r)
         new_i = jnp.where(is_k_col, jnp.where(is_k_row, di, nfd_i), new_i)
         ar_o[:] = new_r
@@ -144,11 +152,13 @@ def _gj_kernel(ar_ref, ai_ref, ar_o, ai_o, acc_o, m_scr, *, n_pad):
     # unscramble: (PA)^-1 -> A^-1 by column swaps in reverse pivot order
     def unscramble(t, _):
         j = n_pad - 1 - t
-        mj = m_scr[pl.ds(j, 1), :].reshape(1, 1, bl)
+        mj = m_scr[pl.ds(j, 1)]  # (1, 1, bl)
         oc = iota_c == mj
         is_j_col = iota_c == j
-        colj_r = ar_o[:, pl.ds(j, 1), :]
-        colj_i = ai_o[:, pl.ds(j, 1), :]
+        colj_r = jnp.sum(jnp.where(is_j_col, ar_o[:], 0.0), axis=1,
+                         keepdims=True)
+        colj_i = jnp.sum(jnp.where(is_j_col, ai_o[:], 0.0), axis=1,
+                         keepdims=True)
         colm_r = jnp.sum(jnp.where(oc, ar_o[:], 0.0), axis=1, keepdims=True)
         colm_i = jnp.sum(jnp.where(oc, ai_o[:], 0.0), axis=1, keepdims=True)
         ar_o[:] = jnp.where(is_j_col, colm_r, jnp.where(oc, colj_r, ar_o[:]))
@@ -195,7 +205,7 @@ def _gj_flat(a: jnp.ndarray, interpret: bool = False):
             jax.ShapeDtypeStruct((n_pad, n_pad, b_pad), jnp.float32),
             jax.ShapeDtypeStruct((8, b_pad), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((n_pad, bl), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((n_pad, 1, bl), jnp.int32)],
         interpret=interpret,
     )(ar, ai)
 
