@@ -293,23 +293,34 @@ void contract_quartet_multi(int la, int lb, int lc, int ld,
     }
 }
 
-inline uint64_t pack3(const int* v) {
-    // coords fit comfortably in [-512, 511]
-    return (uint64_t)(uint32_t)(v[0] + 512) << 40 |
-           (uint64_t)(uint32_t)(v[1] + 512) << 20 |
-           (uint64_t)(uint32_t)(v[2] + 512);
+// 20-bit fields: collision-free for coords in [-524288, 524287]; a
+// false return is a caller error (rc=2), never a silent skip
+inline bool pack3(const int* v, uint64_t* key) {
+    uint64_t out = 0;
+    for (int d = 0; d < 3; ++d) {
+        if (v[d] < -524288 || v[d] > 524287) return false;
+        out = out << 20 | (uint32_t)(v[d] + 524288);
+    }
+    *key = out;
+    return true;
 }
 
-// exact 21-bit triple packing (coords in [-64, 63]) so a (u, v) offset
-// pair fits a single collision-free uint64 key
+// 10-bit fields (coords in [-512, 511], 60 bits total) so a (u, v)
+// offset pair fits a single collision-free uint64 key. u = B+D and
+// v = A-B each sum two single-offset coordinates, so |coord| stays
+// within 2x the largest lattice-image index of the screened pair
+// lists — hundreds at most for the diffusest et-dz primitives; an
+// out-of-range coordinate is reported as rc=2 by the caller, never
+// silently dropped (a dropped K term with its J term kept would be a
+// silently wrong exchange energy).
 inline bool pack6(const int* u, const int* v, uint64_t* key) {
     uint64_t out = 0;
     for (int d = 0; d < 3; ++d) {
-        if (u[d] < -64 || u[d] > 63 || v[d] < -64 || v[d] > 63)
+        if (u[d] < -512 || u[d] > 511 || v[d] < -512 || v[d] > 511)
             return false;
-        out = out << 7 | (uint32_t)(u[d] + 64);
+        out = out << 10 | (uint32_t)(u[d] + 512);
     }
-    for (int d = 0; d < 3; ++d) out = out << 7 | (uint32_t)(v[d] + 64);
+    for (int d = 0; d < 3; ++d) out = out << 10 | (uint32_t)(v[d] + 512);
     *key = out;
     return true;
 }
@@ -349,13 +360,17 @@ extern "C" int sr_eri_block2(
     std::vector<std::array<int, 3>> uA, uD;
     for (int64_t i = 0; i < nb; ++i) {
         int v[3] = {iA_b[3 * i], iA_b[3 * i + 1], iA_b[3 * i + 2]};
-        auto it = amap.emplace(pack3(v), (int)uA.size());
+        uint64_t k3;
+        if (!pack3(v, &k3)) return 2;
+        auto it = amap.emplace(k3, (int)uA.size());
         if (it.second) uA.push_back(std::array<int, 3>{v[0], v[1], v[2]});
         aidx[i] = it.first->second;
     }
     for (int64_t i = 0; i < nk_e; ++i) {
         int v[3] = {iD_k[3 * i], iD_k[3 * i + 1], iD_k[3 * i + 2]};
-        auto it = dmap.emplace(pack3(v), (int)uD.size());
+        uint64_t k3;
+        if (!pack3(v, &k3)) return 2;
+        auto it = dmap.emplace(k3, (int)uD.size());
         if (it.second) uD.push_back(std::array<int, 3>{v[0], v[1], v[2]});
         didx[i] = it.first->second;
     }
@@ -387,6 +402,8 @@ extern "C" int sr_eri_block2(
     std::vector<std::vector<double>> vj_t(nthreads);
     std::vector<KStore> ks_t(nthreads);
     for (int t = 0; t < nthreads; ++t) vj_t[t].assign(vj_len, 0.0);
+    // pack6-overflow flag: benign write race (all writers store 1)
+    int key_overflow = 0;
 
 #ifdef _OPENMP
 #pragma omp parallel num_threads(nthreads)
@@ -493,7 +510,10 @@ extern "C" int sr_eri_block2(
                             v[d] = uA[ia_c][d] - iB[3 * ibv + d];
                         }
                         uint64_t key;
-                        if (!pack6(u, v, &key)) continue;  // unreachably far
+                        if (!pack6(u, v, &key)) {
+                            key_overflow = 1;
+                            continue;  // result discarded via rc=2 below
+                        }
                         auto it =
                             ks.slots.emplace(key, (int)ks.keys.size());
                         if (it.second) {
@@ -523,7 +543,7 @@ extern "C" int sr_eri_block2(
             const auto& k6 = ks.keys[s];
             int u[3] = {k6[0], k6[1], k6[2]}, v[3] = {k6[3], k6[4], k6[5]};
             uint64_t key;
-            if (!pack6(u, v, &key)) continue;
+            if (!pack6(u, v, &key)) return 2;  // unreachable: was packed
             auto it = ks0.slots.emplace(key, (int)ks0.keys.size());
             if (it.second) {
                 ks0.keys.push_back(k6);
@@ -534,6 +554,8 @@ extern "C" int sr_eri_block2(
             for (int iq = 0; iq < nq; ++iq) dst[iq] += src[iq];
         }
     }
+
+    if (key_overflow) return 2;  // caller raises; never silently wrong
 
     // ---- phase transforms -------------------------------------------
     // k . a_j per k-point and lattice row

@@ -239,9 +239,10 @@ def _make_entry(interpret: bool):
 
     @entry.def_vmap
     def _rule(axis_size, in_batched, a):
-        del axis_size
         if not in_batched[0]:
-            a = a[None]
+            # closed-over operand: replicate to the vmap axis so the
+            # declared batched outputs carry the right leading dim
+            a = jnp.broadcast_to(a[None], (axis_size,) + a.shape)
         out = entry(a)
         return out, (True, True, True)
 

@@ -507,7 +507,11 @@ def sr_eri_tensors(shells, lattice, kpts, beta, eps=1e-8,
                     dptr(wk_blk.view(np.float64)),
                 )
                 if ret != 0:
-                    raise RuntimeError(f"native sr_eri_block2 failed: {ret}")
+                    raise RuntimeError(
+                        f"native sr_eri_block2 failed: rc={ret} "
+                        "(1 = angular momentum beyond MAX_L, 2 = lattice"
+                        "-image offset outside the packed-key range)"
+                    )
             else:
                 # numpy fallback: accumulate the same block locally
                 wj_blk = np.zeros((nk, nk, nfa, nfb, nfc, nfd),

@@ -30,6 +30,7 @@ basis.build_shells` consumes them via basis='et-dz'.
 from __future__ import annotations
 
 import os
+import tempfile
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -260,7 +261,18 @@ def dz_shells_for_atom(z: int) -> List[Tuple[int, np.ndarray, np.ndarray]]:
             payload[f"l{i}"] = np.asarray(l)
             payload[f"e{i}"] = e
             payload[f"c{i}"] = c
-        np.savez(path, **payload)
+        # atomic publish: a concurrent reader (training run racing the
+        # hours-long generator, watchdog restart) must never see a
+        # half-written npz (same tmp+rename contract as run_uhf_cached)
+        fd, tmp = tempfile.mkstemp(suffix=".npz", dir=_CACHE_DIR)
+        os.close(fd)
+        try:
+            np.savez(tmp, **payload)
+            os.replace(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise
     _MEM_CACHE[z] = tables
     return [(l, e.copy(), c.copy()) for l, e, c in tables]
 

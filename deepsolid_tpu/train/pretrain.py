@@ -95,33 +95,27 @@ def pretrain(cfg, sc, net, params, data, key, mesh, source=None):
     else:
         raise ValueError(f"Unknown pretrain method: {method}")
 
-    def loss_local(p, x):
+    def loss_per_walker(p, x):
         predict = net.batch_orbitals(p, x)
         target = source.orbital_mats(x)
         if full_det and len(target) == 2:
             target = [_block_diag_targets(target)]
         losses = [
-            jnp.mean(jnp.abs(t[:, None, ...] - pr) ** 2)
+            jnp.mean(
+                jnp.abs(t[:, None, ...] - pr) ** 2,
+                axis=tuple(range(1, pr.ndim)),
+            )
             for t, pr in zip(target, predict)
         ]
         return sum(losses) / len(losses)
 
+    # same chunked-remat transform (and same must-divide contract) as the
+    # train step's psi-paths; bounds the orbital-matching grad memory
+    # (unchunked it needs 21.8G at batch 4096 x 96e)
+    chunked_loss = chunk_batch_fn(loss_per_walker, psi_chunk)
+
     def loss_fn(p, x):
-        n = x.shape[0]
-        if psi_chunk and 0 < psi_chunk < n and n % psi_chunk == 0:
-            # equal chunks: mean of chunk means == batch mean; bounds the
-            # orbital-matching grad memory the same way the train step's
-            # psi_chunk does (unchunked it needs 21.8G at batch 4096 x 96e)
-            chunks = x.reshape(n // psi_chunk, psi_chunk, x.shape[-1])
-            # remat the chunk body: without it the scan transpose stacks
-            # all chunks' forward residuals (full-batch memory again)
-            inner = jax.checkpoint(loss_local)
-            val = jnp.mean(
-                jax.lax.map(lambda d: inner(p, d), chunks)
-            )
-        else:
-            val = loss_local(p, x)
-        return pmean_if_axis(val, DATA_AXIS)
+        return pmean_if_axis(jnp.mean(chunked_loss(p, x)), DATA_AXIS)
 
     nsteps = max(1, int(cfg.pretrain.steps))
 

@@ -463,7 +463,6 @@ def process(cfg, max_iterations: Optional[int] = None):
                 params, data, opt_state, subkey, mcmc_width
             )
             loss, e_l, variance, imaginary, kinetic, finite_frac, *extra = stats
-            damping_val = float(extra[0]) if extra else None
 
             if cfg.debug.check_nan:
                 flat = jax.tree_util.tree_leaves((params, loss))
@@ -474,7 +473,8 @@ def process(cfg, max_iterations: Optional[int] = None):
                     params, data, opt_state = prev
                     continue
 
-            pmove_val = float(pmove)
+            # the only unconditional per-step device sync: the containment
+            # warning must fire the step it happens, not at the next log
             nonfinite = 1.0 - float(finite_frac)
             if nonfinite > 0.01:
                 # failure containment engaged on >1% of walkers — the
@@ -484,6 +484,7 @@ def process(cfg, max_iterations: Optional[int] = None):
                     "energies (masked out)", t, 100.0 * nonfinite,
                 )
             if t % cfg.log.stats_frequency == 0:
+                pmove_val = float(pmove)
                 loss_val = float(loss) / scale
                 var_val = float(variance.real) / scale**2
                 imag_val = float(imaginary) / scale
@@ -505,7 +506,7 @@ def process(cfg, max_iterations: Optional[int] = None):
                     "nonfinite": nonfinite,
                 }
                 if log_damping:
-                    row["damping"] = damping_val
+                    row["damping"] = float(extra[0])
                 if polarization_fn is not None:
                     row["complex_polarization"] = complex(
                         polarization_fn(data)

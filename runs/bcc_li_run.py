@@ -1,4 +1,4 @@
-"""bcc-Li 3x3x3 from the reference POSCAR (BASELINE.md system #4).
+"""bcc-Li 3x3x3 from the in-repo POSCAR (identical to the reference file) (BASELINE.md system #4).
 
 54 atoms / 162 electrons — the largest BASELINE system. Reference drives
 the same file via config/read_poscar.py:13 ("bcc_li.vasp,3,ccpvdz").
@@ -13,7 +13,7 @@ sys.path.insert(0, "/root/repo")
 from deepsolid_tpu.configs import read_poscar
 from deepsolid_tpu.train import process
 
-POSCAR = "/root/reference/DeepSolid/config/poscar/bcc_li.vasp"
+POSCAR = "/root/repo/deepsolid_tpu/configs/poscar/bcc_li.vasp"
 
 cfg = read_poscar.get_config(f"{POSCAR},3,sto-3g")
 cfg.batch_size = 1024

@@ -16,7 +16,7 @@ for cfg in (
     rock_salt.get_config("Li,H,4.02,2,ccpvdz"),
     rock_salt.get_config("Li,H,4.02,2,sto-3g"),
     read_poscar.get_config(
-        "/root/reference/DeepSolid/config/poscar/bcc_li.vasp,3,sto-3g"),
+        "/root/repo/deepsolid_tpu/configs/poscar/bcc_li.vasp,3,sto-3g"),
 ):
     sc = cfg.system.cell
     shells = basis_lib.build_shells(sc.prim, cfg.system.basis)

@@ -21,7 +21,7 @@ from deepsolid_tpu.train.pretrain import make_orbital_source
 JOBS = [
     ("LiH rock-salt 2x2x2 cc-pVDZ", lambda: rock_salt.get_config("Li,H,4.02,2,ccpvdz")),
     ("bcc-Li 3x3x3 sto-3g", lambda: read_poscar.get_config(
-        "/root/reference/DeepSolid/config/poscar/bcc_li.vasp,3,sto-3g")),
+        "/root/repo/deepsolid_tpu/configs/poscar/bcc_li.vasp,3,sto-3g")),
 ]
 
 for name, make_cfg in JOBS:

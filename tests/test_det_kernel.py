@@ -173,3 +173,22 @@ def test_logdet_matmul_kernel_grad_end_to_end():
         fl.set_det_kernel(None)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_vmap_closed_over_unbatched_operand():
+    """custom_vmap rule with in_batched=(False,): the operand is closed
+    over, so outputs must replicate to axis_size (not stay size-1)."""
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    a = (
+        jax.random.normal(key, (5, 5))
+        + 1j * jax.random.normal(jax.random.PRNGKey(1), (5, 5))
+    ).astype(jnp.complex64)
+    out = jax.vmap(lambda s: gj_inverse_slogdet_interpret(a)[2] * s)(
+        jnp.ones(4)
+    )
+    assert out.shape == (4,)
+    ref = jnp.linalg.slogdet(a)[1]
+    np.testing.assert_allclose(np.asarray(out), np.full(4, float(ref)),
+                               rtol=1e-5)

@@ -89,3 +89,53 @@ def test_driver_with_pretrain():
         cfg.system.basis = ""  # force the plane-wave source
         params, data, energy = process.process(cfg)
         assert np.isfinite(energy)
+
+
+@pytest.mark.parametrize("bad", [False, True])
+def test_pretrain_psi_chunk_matches_unchunked(bad):
+    """psi_chunk'd pretraining follows the same chunk_batch_fn contract as
+    the train step: equal chunks reproduce the unchunked update (mean of
+    per-walker losses is chunking-invariant), and a non-dividing chunk
+    fails loudly instead of silently falling back to whole-batch."""
+    from deepsolid_tpu.parallel import local_mesh, replicate, shard_leading
+    from deepsolid_tpu.sampling.init import init_electrons
+    from deepsolid_tpu.train import pretrain as pretrain_lib
+    from deepsolid_tpu.train.process import build_network
+    from test_train_e2e import small_cfg
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        cfg = small_cfg(tmpdir)
+        cfg.pretrain.method = "net"
+        cfg.pretrain.iterations = 5
+        sc = cfg.system.cell
+        net = build_network(cfg, sc)
+        mesh = local_mesh()
+        key = jax.random.PRNGKey(0)
+
+        def fresh():
+            # pretrain_step donates params/data: rebuild per call
+            params = replicate(mesh, net.init(key))
+            data = shard_leading(
+                mesh, init_electrons(key, sc, sc.nelec, cfg.batch_size)
+            )
+            return params, data
+
+        if bad:
+            cfg.optim.psi_chunk = 7  # does not divide the per-device batch
+            params, data = fresh()
+            with pytest.raises(ValueError, match="must divide"):
+                pretrain_lib.pretrain(cfg, sc, net, params, data, key, mesh)
+            return
+        params, data = fresh()
+        p_ref, _ = pretrain_lib.pretrain(cfg, sc, net, params, data, key, mesh)
+        cfg.optim.psi_chunk = 4
+        params, data = fresh()
+        p_chunk, _ = pretrain_lib.pretrain(
+            cfg, sc, net, params, data, key, mesh
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_ref),
+            jax.tree_util.tree_leaves(p_chunk),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9, atol=1e-10)
