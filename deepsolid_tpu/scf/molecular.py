@@ -138,11 +138,23 @@ def run_uhf_molecular(
     tol: float = 1e-9,
     lindep: float = 1e-9,
     eri: np.ndarray = None,
+    initial_dms: List[np.ndarray] = None,
+    occupation: str = "aufbau",
 ) -> Tuple[float, List[np.ndarray], List[np.ndarray]]:
     """Free-space UHF. Returns (E_total, [eps_a, eps_b], [C_a, C_b]).
 
     `eri` optionally supplies a precomputed (nao,)*4 chemists' tensor
-    (e.g. the vectorized one-center builder in scf/etdz.py)."""
+    (e.g. the vectorized one-center builder in scf/etdz.py).
+    `initial_dms` optionally seeds the SCF with [D_alpha, D_beta] AO
+    density matrices instead of the core-Hamiltonian aufbau guess —
+    used by the ET-DZ generator to steer open-d-shell atoms toward a
+    specific real-determinant occupation (scf/etdz._atomic_uhf).
+    `occupation='mom'` fills each spin's orbitals by maximum overlap
+    with the previous iteration's density (seeded by `initial_dms`)
+    instead of by energy — aufbau refilling freely rotates within a
+    degenerate open d shell, so a configuration seed alone cannot hold
+    a target determinant; MOM locks it (the caller compares stationary
+    solutions across seeds and keeps the lowest)."""
     S, T, V = one_electron_matrices(shells, nuclei)
     if eri is None:
         eri = eri_tensor(shells)
@@ -159,10 +171,13 @@ def run_uhf_molecular(
         return eps, X @ c_o
 
     eps0, c0 = solve(hcore)
-    dms = []
-    for n_s in nelec:
-        c_occ = c0[:, :n_s]
-        dms.append(c_occ @ c_occ.T)
+    if initial_dms is not None:
+        dms = [np.array(d, dtype=float) for d in initial_dms]
+    else:
+        dms = []
+        for n_s in nelec:
+            c_occ = c0[:, :n_s]
+            dms.append(c_occ @ c_occ.T)
 
     e_nn = 0.0
     for i, (zi, ri) in enumerate(nuclei):
@@ -184,6 +199,18 @@ def run_uhf_molecular(
             F = hcore + J - K
             e_elec += 0.5 * np.sum(dms[s] * (hcore + F))
             eps, c = solve(F)
+            if occupation == "mom":
+                # occupy by overlap with the previous density's range
+                p = np.einsum("mi,mn,np,pq,qi->i", c, S, dms[s], S, c,
+                              optimize=True)
+                occ_idx = np.sort(np.argsort(-p, kind="stable")[: nelec[s]])
+                c = np.concatenate(
+                    [c[:, occ_idx],
+                     np.delete(c, occ_idx, axis=1)], axis=1
+                )
+                eps = np.concatenate(
+                    [eps[occ_idx], np.delete(eps, occ_idx)]
+                )
             eps_out.append(eps)
             c_out.append(c)
             c_occ = c[:, : nelec[s]]

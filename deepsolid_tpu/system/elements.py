@@ -50,8 +50,9 @@ _EXCEPTIONS = {
 }
 
 
-def _ground_state_unpaired(z: int) -> int:
-    """Number of unpaired electrons in the atomic ground state (Hund)."""
+def subshell_counts(z: int) -> Dict[tuple, int]:
+    """Ground-state electron count per (n, l) subshell: Madelung filling
+    with the known configuration exceptions (Cr, Cu, ...)."""
     counts: Dict[tuple, int] = {}
     remaining = z
     for (n, l) in _MADELUNG_ORDER:
@@ -63,6 +64,12 @@ def _ground_state_unpaired(z: int) -> int:
         remaining -= take
     for nl, delta in _EXCEPTIONS.get(z, {}).items():
         counts[nl] = counts.get(nl, 0) + delta
+    return counts
+
+
+def _ground_state_unpaired(z: int) -> int:
+    """Number of unpaired electrons in the atomic ground state (Hund)."""
+    counts = subshell_counts(z)
     unpaired = 0
     for (n, l), c in counts.items():
         orbitals = 2 * l + 1
