@@ -60,3 +60,40 @@ def test_read_poscar_config_builds_supercell():
     assert sc.scale == 8  # 2x2x2 tiling of the 2-atom conventional cell
     assert sum(sc.nelec) == 8 * 2 * 3  # Z=3 per Li
     assert cfg.system.basis == "sto-3g"
+
+
+def test_bcc_config_matches_poscar_conventional_cell():
+    """configs/bcc.py: the S=2 primitive-bcc supercell has the same
+    density and electron count as the 1x1x1 conventional-cell POSCAR
+    build (2 primitive cells per conventional cube)."""
+    from deepsolid_tpu.configs import bcc, read_poscar as rp
+
+    a_ang = 3.4268178940
+    cfg = bcc.get_config(f"Li,{a_ang},2,0,sto-3g")
+    sc = cfg.system.cell
+    a = units.angstrom2bohr(a_ang)
+    # primitive bcc volume = a^3 / 2
+    np.testing.assert_allclose(
+        abs(np.linalg.det(sc.prim.lattice)), a**3 / 2, rtol=1e-12
+    )
+    assert sc.scale == 8 and sum(sc.nelec) == 8 * 3
+    cfg2 = rp.get_config(f"{POSCAR},1,sto-3g")
+    sc2 = cfg2.system.cell
+    np.testing.assert_allclose(
+        abs(np.linalg.det(sc.prim.lattice)) * sc.scale / sum(sc.nelec),
+        abs(np.linalg.det(sc2.prim.lattice)) * sc2.scale / sum(sc2.nelec),
+        rtol=1e-12,
+    )
+
+
+def test_bcc_config_3d_metal_wiring():
+    """A 3d metal (V, Z=23) builds with the et-dz basis: the supercell
+    parity check and the l=2 basis tables both engage."""
+    from deepsolid_tpu.configs import bcc
+    from deepsolid_tpu.scf.basis import build_shells
+
+    cfg = bcc.get_config("V,3.03,1,1,et-dz")
+    sc = cfg.system.cell
+    assert sum(sc.nelec) == 23 and sc.spin == 1
+    shells = build_shells(sc.prim, cfg.system.basis, exp_to_discard=0.0)
+    assert {s.l for s in shells} == {0, 1, 2}
