@@ -411,6 +411,26 @@ def set_det_kernel(enabled):
     _DET_KERNEL = enabled
 
 
+_GAUSS_SPLIT = None  # None = auto (off); True/False to force
+
+
+def set_gauss_split(enabled):
+    """Force the 3-multiplication Gauss split of the complex det-head
+    tangent product on/off. Auto (None) is OFF: it trades 25% of the
+    matmul FLOPs for (T, ..., n, n) temporaries that tip the production
+    bench over HBM; env DEEPSOLID_TPU_GAUSS_SPLIT=on|off overrides."""
+    global _GAUSS_SPLIT
+    _GAUSS_SPLIT = enabled
+
+
+def _use_gauss_split() -> bool:
+    if _GAUSS_SPLIT is not None:
+        return bool(_GAUSS_SPLIT)
+    import os
+
+    return os.environ.get("DEEPSOLID_TPU_GAUSS_SPLIT", "") == "on"
+
+
 def _use_det_kernel(a) -> bool | str:
     # the kernel computes in f32 planes: complex64 inputs only (f64
     # runs — CPU re-evals, precision anchors — keep the LAPACK path)
@@ -463,7 +483,12 @@ def slogdet_jet(mat: Jet, axis_name=None) -> Tuple[jnp.ndarray, Jet]:
     # (p1=Re*Re, p2=Im*Im, p3=(Re+Im)(Re+Im)) instead of the 4 real
     # matmuls of a naive complex lowering — 25% off the biggest det-head
     # matmul.
-    if jnp.iscomplexobj(a):
+    if jnp.iscomplexobj(a) and _use_gauss_split():
+        # OFF by default: the (T, ..., n, n) temporaries (jr+ji and the
+        # three products) raise peak HBM enough to OOM the production
+        # C-diamond batch-1024 bench on a 16G chip (round-3 capture log);
+        # enable via set_gauss_split(True) / DEEPSOLID_TPU_GAUSS_SPLIT=on
+        # where the det head is compute- rather than memory-bound.
         ar, ai = a_inv.real[None], a_inv.imag[None]
         jr, ji = mat.jac.real, mat.jac.imag
         mm = functools.partial(jnp.matmul, precision=_TANGENT_PRECISION)

@@ -119,10 +119,14 @@ def test_local_energy_forward_mode():
     np.testing.assert_allclose(float(ew1), float(ew2), rtol=1e-10)
 
 
-def test_slogdet_jet_complex_against_autodiff():
-    """Direct f64 oracle for the complex det head (incl. the Gauss
-    3-multiplication split of A^-1 J_t): jet of log det A(z) for a dense
-    complex matrix-valued function vs jacfwd/hessian."""
+@pytest.mark.parametrize("gauss_split", [False, True])
+def test_slogdet_jet_complex_against_autodiff(gauss_split, request):
+    """Direct f64 oracle for the complex det head, on BOTH tangent-product
+    lowerings (naive complex matmul and the Gauss 3-multiplication split
+    of A^-1 J_t): jet of log det A(z) for a dense complex matrix-valued
+    function vs jacfwd/hessian."""
+    fl.set_gauss_split(gauss_split)
+    request.addfinalizer(lambda: fl.set_gauss_split(None))
     rng = np.random.RandomState(3)
     n, m = 4, 5  # n x n complex matrix, m tangent directions
     w_re = jnp.asarray(rng.randn(m, n * n))
