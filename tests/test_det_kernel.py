@@ -175,6 +175,45 @@ def test_logdet_matmul_kernel_grad_end_to_end():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_slogdet_op_kernel_jvp_of_grad_second_order():
+    """The reference-style partition/for engines take jvp-of-grad through
+    log|psi|; the kernel's recursive custom JVP must support that second
+    order and agree with jnp.linalg.slogdet's autodiff."""
+    from deepsolid_tpu.ops import slogdet as slog
+
+    a = _random_complex((2, 6, 6), seed=41) + 1.5 * jnp.eye(
+        6, dtype=jnp.complex64
+    )
+    rng = np.random.RandomState(2)
+    v = jnp.asarray(
+        0.3 * (rng.randn(2, 6, 6) + 1j * rng.randn(2, 6, 6)), jnp.complex64
+    )
+
+    def make_f(op):
+        def f(x):
+            sign, logabs = op(x)
+            return jnp.sum(logabs)
+
+        return f
+
+    def ke(op, x):
+        # jvp(grad f) — the kinetic-energy access pattern (f is real;
+        # grad of a real function of a complex input is well-defined)
+        g = jax.grad(make_f(op))
+        return jax.jvp(g, (x,), (v,))
+
+    w_p, w_t = ke(jnp.linalg.slogdet, a)
+    fl.set_det_kernel("interpret")
+    try:
+        g_p, g_t = ke(slog.slogdet_op, a)
+    finally:
+        fl.set_det_kernel(None)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(w_p),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(w_t),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_vmap_closed_over_unbatched_operand():
     """custom_vmap rule with in_batched=(False,): the operand is closed
     over, so outputs must replicate to axis_size (not stay size-1)."""
