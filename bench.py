@@ -129,6 +129,9 @@ def flops_per_walker(mode, chunk=32):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    # count the LU-path FLOPs: cost_analysis returns NaN through a
+    # pallas_call, and the HLO count should be kernel-independent anyway
+    env["DEEPSOLID_TPU_DET_KERNEL"] = "off"
     try:
         out = subprocess.run(
             [sys.executable, "-c", code], env=env, capture_output=True,
@@ -191,6 +194,19 @@ def main():
             fwd = build(S=2, batch=batch, mode="forward",
                         el_chunk=fwd_chunk)
     part = build(S=2, batch=batch, mode="partition", el_chunk=16)
+    # Pin the BASELINE arm to reference semantics (XLA-LU det head): the
+    # Pallas GJ det kernel also speeds up the partition engine, which the
+    # reference (jnp.linalg LU) would not have — compiling the baseline
+    # under a forced-off setting keeps vs_baseline an honest ratio over
+    # the reference's approach whatever the production default is.
+    from deepsolid_tpu.ops import fwdlap as _fl
+
+    _prev = _fl._DET_KERNEL
+    _fl.set_det_kernel(False)
+    try:
+        _rate(part[2], part[0], part[1], batch, 1)  # trace+compile off
+    finally:
+        _fl.set_det_kernel(_prev)
     rates, ratios = [], []
     for _ in range(3):
         evals_per_sec = _rate(fwd[2], fwd[0], fwd[1], batch, 3)
