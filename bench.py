@@ -129,8 +129,12 @@ def flops_per_walker(mode, chunk=32):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    # count the LU-path FLOPs: cost_analysis returns NaN through a
-    # pallas_call, and the HLO count should be kernel-independent anyway
+    # deliberately pin the FLOP count to the reference-LU algorithm: the
+    # GJ kernel materializes the full inverse (more raw FLOPs), so
+    # counting LU-path FLOPs makes tflops_per_sec/mfu an ALGORITHMIC
+    # rate — work accomplished per second, not silicon ops issued —
+    # comparable across det-head implementations. (cost_analysis also
+    # returns NaN through a pallas_call.)
     env["DEEPSOLID_TPU_DET_KERNEL"] = "off"
     try:
         out = subprocess.run(
@@ -196,21 +200,36 @@ def main():
     part = build(S=2, batch=batch, mode="partition", el_chunk=16)
     # Pin the BASELINE arm to reference semantics (XLA-LU det head): the
     # Pallas GJ det kernel also speeds up the partition engine, which the
-    # reference (jnp.linalg LU) would not have — compiling the baseline
-    # under a forced-off setting keeps vs_baseline an honest ratio over
-    # the reference's approach whatever the production default is.
+    # reference (jnp.linalg LU) would not have — so EVERY baseline _rate
+    # call (not just the first trace) runs with the kernel forced off.
+    # _rate builds a fresh jitted closure per call; relying on pjit's
+    # inner-jaxpr cache to carry an earlier forced-off trace would
+    # silently compile the baseline kernel-ON after any cache miss
+    # (ADVICE r3). The forward arm symmetrically re-pins the production
+    # default around each call.
+    import contextlib
+
     from deepsolid_tpu.ops import fwdlap as _fl
 
-    _prev = _fl._DET_KERNEL
-    _fl.set_det_kernel(False)
-    try:
+    _default = _fl._DET_KERNEL
+
+    @contextlib.contextmanager
+    def det_kernel(flag):
+        prev = _fl._DET_KERNEL
+        _fl.set_det_kernel(flag)
+        try:
+            yield
+        finally:
+            _fl.set_det_kernel(prev)
+
+    with det_kernel(False):
         _rate(part[2], part[0], part[1], batch, 1)  # trace+compile off
-    finally:
-        _fl.set_det_kernel(_prev)
     rates, ratios = [], []
     for _ in range(3):
-        evals_per_sec = _rate(fwd[2], fwd[0], fwd[1], batch, 3)
-        base = _rate(part[2], part[0], part[1], batch, 1)
+        with det_kernel(_default):
+            evals_per_sec = _rate(fwd[2], fwd[0], fwd[1], batch, 3)
+        with det_kernel(False):
+            base = _rate(part[2], part[0], part[1], batch, 1)
         rates.append(evals_per_sec)
         ratios.append(evals_per_sec / base)
     med = int(np.argsort(rates)[len(rates) // 2])

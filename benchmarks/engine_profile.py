@@ -113,13 +113,19 @@ def main():
     if "det" not in sections:
         print(json.dumps(out, indent=1))
         return
+    # partial results first: a det-section failure must not discard the
+    # full/kinetic numbers (the axon backend rejects EAGER complex ops,
+    # so the jets are constructed inside a jit and stay on device)
+    print(json.dumps(out, indent=1), flush=True)
     n3 = sc.nelectron * 3
     ndet = 8
     blocks = [s for s in (sc.nelec[0], sc.nelec[1]) if s > 0]
     keys = jax.random.split(key, 6)
+    det_chunk = min(chunk, 16)
 
-    def make_jet(ki, ns, b):
-        shape = (b, ndet, ns, ns)
+    def make_jet_arrays(ns_idx):
+        ns = blocks[ns_idx]
+        shape = (det_chunk, ndet, ns, ns)
         val = (jax.random.normal(keys[0], shape) +
                1j * jax.random.normal(keys[1], shape)).astype(jnp.complex64)
         val = val + 3.0 * jnp.eye(ns, dtype=jnp.complex64)
@@ -129,10 +135,10 @@ def main():
         lap = (jax.random.normal(keys[4], shape) +
                1j * jax.random.normal(keys[5], shape)
                ).astype(jnp.complex64) * 0.05
-        return fl.Jet(val, jac, lap)
+        return val, jac, lap
 
-    det_chunk = min(chunk, 16)
-    jets = [make_jet(k, ns, det_chunk) for k, ns in enumerate(blocks)]
+    make_jet_jit = jax.jit(make_jet_arrays, static_argnums=0)
+    jets = [fl.Jet(*make_jet_jit(k)) for k in range(len(blocks))]
 
     def det_fn(*flat):
         total = 0.0

@@ -77,6 +77,14 @@ def default() -> ml_collections.ConfigDict:
                     "damping_adaptation_interval": 5,
                     "damping_adaptation_decay": 0.9,
                     "max_damping": 1.0,
+                    # Fisher estimation mode (reference estimator.py:264-320):
+                    # 'fisher_exact' (production default here and upstream)
+                    # sums the exact per-output one-hot cotangents (two
+                    # backward passes: re + im); 'fisher_gradients' is the
+                    # cheap MC fallback — ONE backward pass seeded with
+                    # sqrt(2)*N(0,1), unbiased for the same factors with
+                    # sampling noise the cov EMA averages out.
+                    "estimation_mode": "fisher_exact",
                 },
                 "ministeps": 1,
                 "laplacian_mode": "partition",  # 'forward'|'partition'|'vmap'|'for'|'hessian'

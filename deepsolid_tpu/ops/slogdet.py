@@ -28,7 +28,15 @@ def _make_gj_slogdet(interpret: bool):
     re-differentiate the rule for higher orders (the reference-style
     partition engine takes jvp-of-grad through log psi) and transpose it
     for reverse mode — the raw pallas_call is never differentiated.
-    Semantics match jnp.linalg.slogdet's autodiff rules."""
+    Semantics match jnp.linalg.slogdet's autodiff rules.
+
+    Cost note (ADVICE r3): the recursive rule re-invokes gj_all(a) — a
+    pallas_call XLA typically does not CSE — once per differentiation
+    level, so NESTED grad/jvp consumers run the Gauss-Jordan kernel
+    multiple times on the same matrix. The production paths are immune
+    (the MCMC value path and slogdet_jet need no nesting); if the
+    partition engine is ever run kernel-on in production, thread the
+    primal a_inv through as an auxiliary output instead."""
     from deepsolid_tpu.ops.pallas import det_kernels
 
     kernel = (det_kernels.gj_inverse_slogdet_interpret if interpret

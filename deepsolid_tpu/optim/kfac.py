@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from deepsolid_tpu.parallel import DATA_AXIS, all_mean, pmean_if_axis
+from deepsolid_tpu.parallel import (
+    DATA_AXIS,
+    all_mean,
+    pmean_if_axis,
+    psum_if_axis,
+)
 
 
 def _tree_get(params, path):
@@ -107,6 +112,15 @@ class KfacOptimizer:
     # 96e). Factor updates are sums over walkers, so they accumulate
     # exactly across lax.map chunks. 0 = whole batch.
     capture_chunk: int = 0
+    # Fisher estimation mode (reference: estimator.py:264-320).
+    # 'fisher_exact' sums the per-output-index one-hot cotangents — two
+    # backward passes here (re + im rows of the complex log psi);
+    # 'fisher_gradients' is the reference's cheap Monte-Carlo fallback:
+    # ONE backward pass seeded with sqrt(2) * N(0,1) per (walker, row)
+    # (grad_of_evaluate_on_sample with coefficient_mode='sqrt' for the
+    # registered variance-0.5 normal) whose factor expectation equals
+    # the exact mode.
+    estimation_mode: str = "fisher_exact"
 
     # ---------------- layout helpers -----------------------------------------
     def _registry(self, params):
@@ -232,12 +246,13 @@ class KfacOptimizer:
         return state
 
     # ---------------- curvature capture ---------------------------------------
-    def _capture(self, params, data):
+    def _capture(self, params, data, rng=None):
         """(taps, dy, diag_grads): layer inputs, complex output tangents, and
         per-parameter gradients for the diagonal blocks.
 
         Equivalent to tracer.trace_estimator_vjp + vjp_rc (tracer.py:196-332,
-        vjp_rc.py:28-93) using the explicit eps-injection hooks.
+        vjp_rc.py:28-93) using the explicit eps-injection hooks. `rng`
+        seeds the fisher_gradients MC cotangents (unused in exact mode).
         """
         dtype = data.dtype
         reg, dense_paths = self._dense_paths(params)
@@ -275,10 +290,21 @@ class KfacOptimizer:
             outs, taps = forward(e, d)
             return jnp.stack([outs.real, outs.imag], axis=-1), taps
 
-        # ONE vjp over a shared forward trace; the two backward passes (re
-        # and im cotangent seeds) reuse its residuals, halving the capture
-        # cost vs separate f_re/f_im vjps (VERDICT r2 weak #8).
+        # ONE vjp over a shared forward trace; the (one or two) backward
+        # passes reuse its residuals (VERDICT r2 weak #8).
         (_, vjp_ri, taps) = jax.vjp(f_ri, eps0, diag_params, has_aux=True)
+        if self.estimation_mode == "fisher_gradients" and rng is not None:
+            # MC Fisher (estimator.py:264-269): one backward pass seeded
+            # with sqrt(2)*z, z ~ N(0,1) over both (re, im) output rows;
+            # E[z z^T] = I makes the factor expectation equal the exact
+            # two-pass sum at half the backward cost.
+            z = jax.random.normal(rng, (batch, 2), dtype)
+            dy_mc, dg_mc = vjp_ri(jnp.sqrt(jnp.asarray(2.0, dtype)) * z)
+            zero_dy = jax.tree_util.tree_map(jnp.zeros_like, dy_mc)
+            zero_dg = jax.tree_util.tree_map(jnp.zeros_like, dg_mc)
+            dy = {n: (dy_mc[n], zero_dy[n]) for n in dy_mc}
+            diag_grads = {k: (dg_mc[k], zero_dg[k]) for k in dg_mc}
+            return taps, dy, diag_grads
         # fisher_exact, 1-D loss, variance=0.5 -> cotangent sqrt(2) per sample
         # (loss_functions.py:529-537, estimator.py:284-320)
         cot = jnp.full((batch,), jnp.sqrt(2.0), dtype)
@@ -289,14 +315,14 @@ class KfacOptimizer:
         diag_grads = {k: (dg_re[k], dg_im[k]) for k in dg_re}
         return taps, dy, diag_grads
 
-    def _factor_sums(self, params, data):
+    def _factor_sums(self, params, data, rng=None):
         """Per-layer curvature factor SUMS over this walker chunk.
 
         Returns (dense {name: (a_sum, g_sum)}, env {name: (a_sum, g_sum)},
         diag {key: (g_re_sum, g_im_sum)}). All three accumulate linearly
         over walkers, so chunked capture reproduces whole-batch capture
         exactly (the diag gradients come batch-summed out of the vjp)."""
-        taps, dy, diag_grads = self._capture(params, data)
+        taps, dy, diag_grads = self._capture(params, data, rng=rng)
         reg = self._registry(params)
 
         dense = {}
@@ -334,21 +360,44 @@ class KfacOptimizer:
         ema_old = jnp.asarray(self.cov_ema_decay, data.dtype)
         batch = data.shape[0]
         chunk = self.capture_chunk
+        rng = None
+        if self.estimation_mode == "fisher_gradients":
+            # deterministic per-step MC seed, decorrelated across the
+            # data axis (each shard folds its own axis index)
+            rng = jax.random.fold_in(
+                jax.random.PRNGKey(230), state["step"]
+            )
+            try:
+                rng = jax.random.fold_in(
+                    rng, jax.lax.axis_index(DATA_AXIS)
+                )
+            except NameError:
+                pass
         if chunk and 0 < chunk < batch:
             if batch % chunk != 0:
                 raise ValueError(
                     f"kfac capture_chunk={chunk} must divide the "
                     f"per-device walker batch ({batch})"
                 )
-            chunks = data.reshape(batch // chunk, chunk, data.shape[-1])
-            sums = jax.lax.map(
-                lambda d: self._factor_sums(params, d), chunks
-            )
+            n_chunks = batch // chunk
+            chunks = data.reshape(n_chunks, chunk, data.shape[-1])
+            if rng is not None:
+                keys = jax.random.split(rng, n_chunks)
+                sums = jax.lax.map(
+                    lambda args: self._factor_sums(
+                        params, args[0], rng=args[1]
+                    ),
+                    (chunks, keys),
+                )
+            else:
+                sums = jax.lax.map(
+                    lambda d: self._factor_sums(params, d), chunks
+                )
             dense_s, env_s, diag_s = jax.tree_util.tree_map(
                 lambda s: s.sum(0), sums
             )
         else:
-            dense_s, env_s, diag_s = self._factor_sums(params, data)
+            dense_s, env_s, diag_s = self._factor_sums(params, data, rng=rng)
 
         # static per-walker repeat counts for the normalizations
         dtype = data.dtype
@@ -383,9 +432,18 @@ class KfacOptimizer:
             }
 
         diag = dict(state["diag"])
+        # device-count-invariant naive-diagonal factor: the vjp returns
+        # batch-SUMMED gradients, and squaring is nonlinear, so the sum
+        # must be completed across the data axis BEFORE squaring —
+        # (psum g)^2 / B_global equals the single-device (sum g)^2 / B
+        # exactly. (The reference's pmap form squares per-device sums
+        # then pmeans, which silently depends on the device count.)
+        global_batch = psum_if_axis(jnp.asarray(batch, dtype), DATA_AXIS)
         for key, entry in diag.items():
             g_re, g_im = diag_s[key]
-            upd = pmean_if_axis((g_re**2 + g_im**2) / batch, DATA_AXIS)
+            g_re = psum_if_axis(g_re, DATA_AXIS)
+            g_im = psum_if_axis(g_im, DATA_AXIS)
+            upd = (g_re**2 + g_im**2) / global_batch
             diag[key] = {
                 "raw": entry["raw"] * ema_old + upd,
                 "weight": entry["weight"] * ema_old + 1.0,

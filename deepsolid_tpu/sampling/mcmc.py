@@ -159,11 +159,17 @@ def make_mcmc_step(
     atoms=None,
     importance_network: Optional[Callable] = None,
     one_electron_moves: bool = False,
+    psi_chunk: int = 0,
 ) -> Callable:
     """Creates mcmc_step(params, data, key, width) -> (data, pmove).
 
     Pure function: jit / shard_map at the call site. pmove is pmean'd over
     the data axis when bound (reference: qmc.py:290-364).
+
+    `psi_chunk` bounds the importance sampler's memory: its per-move
+    value_and_grad otherwise materializes full-batch activations + the
+    backward pass (the other samplers receive an already-chunked
+    `batch_slog_network` from the driver).
     """
     latvec = jnp.asarray(latvec)
     if importance_network is not None:
@@ -174,6 +180,10 @@ def make_mcmc_step(
         f = jax.vmap(
             jax.value_and_grad(importance_network, argnums=1), in_axes=(None, 0)
         )
+        if psi_chunk and psi_chunk > 0:
+            from deepsolid_tpu.train.loss import chunk_batch_fn
+
+            f = chunk_batch_fn(f, psi_chunk, "psi")
         inner = importance_update
         logging.info("MCMC: Langevin importance sampling")
     elif one_electron_moves:

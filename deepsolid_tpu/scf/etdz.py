@@ -298,8 +298,14 @@ def _atomic_uhf(z: int, bath: Dict[int, np.ndarray]):
     best = (e0, c0)
 
     counts = elements.subshell_counts(z)
-    # component choice exists only for d counts not in {0, 5, 10}
-    if any(l == 2 and c % 5 for (_, l), c in counts.items()):
+    # Seed whenever a d shell is OPEN (0 < c < 10), not only when a
+    # component choice exists (c % 5): for half-filled d^5 (Mn: 3d5 4s2)
+    # both _D_ORDERS give the same determinant, but the MOM seed still
+    # pins the CONFIGURATION — plain aufbau relaxed Mn into a
+    # wrong-filling fixed point +118 mHa above the Koga/Thakkar limit
+    # (round-4 generation log, runs/q_etdz_mn_zn.log).
+    open_d = [c for (_, l), c in counts.items() if l == 2 and 0 < c < 10]
+    if open_d:
         S, T, V = one_electron_matrices(shells, nuclei)
         hcore = T + V
         # stage 2: configuration-seeded MOM runs. Radial seed functions
@@ -313,7 +319,11 @@ def _atomic_uhf(z: int, bath: Dict[int, np.ndarray]):
             np.einsum("ikjl,kl->ij", eri, d) for d in dms0
         )
         fock = hcore + J - k_avg
-        for order in _D_ORDERS:
+        # half-filled d: the component orders coincide — one seed suffices
+        orders = (
+            _D_ORDERS if any(c % 5 for c in open_d) else _D_ORDERS[:1]
+        )
+        for order in orders:
             seed = _config_guess_dms(z, shells, S, fock, order)
             e, _, c = run_uhf_molecular(
                 shells, nuclei, (nalpha, nbeta), max_iter=300,

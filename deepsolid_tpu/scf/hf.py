@@ -441,6 +441,46 @@ def _density(c_all, occ):
     return dm
 
 
+def _fermi_occupations(eps_all, n_occ, sigma):
+    """Fractional Fermi-Dirac occupations n_{k,b} summing to n_occ.
+
+    The chemical potential is found by bisection across the combined
+    (k, band) spectrum. Fermi broadening is the standard fix for SCF
+    occupation oscillation between near-degenerate band fixed points
+    (the role PySCF's `scf.addons.smearing_` plays for the reference's
+    bridge); annealed to sigma -> 0 it recovers an integer-occupation
+    UHF solution.
+    """
+    flat = np.concatenate([np.asarray(e) for e in eps_all])
+    lo = float(flat.min()) - 20.0 * sigma
+    hi = float(flat.max()) + 20.0 * sigma
+
+    def total(mu):
+        z = np.clip((flat - mu) / sigma, -40.0, 40.0)
+        return float(np.sum(1.0 / (1.0 + np.exp(z))))
+
+    for _ in range(200):
+        mu = 0.5 * (lo + hi)
+        if total(mu) < n_occ:
+            lo = mu
+        else:
+            hi = mu
+    mu = 0.5 * (lo + hi)
+    return [
+        1.0 / (1.0 + np.exp(np.clip((np.asarray(e) - mu) / sigma, -40.0, 40.0)))
+        for e in eps_all
+    ]
+
+
+def _density_frac(c_all, occ_frac):
+    """Density matrices from fractional per-(k, band) occupations."""
+    nao = c_all[0].shape[0]
+    dm = np.zeros((len(c_all), nao, nao), np.complex128)
+    for ki, (c, n) in enumerate(zip(c_all, occ_frac)):
+        dm[ki] = (c * np.asarray(n)[None, :]) @ c.conj().T
+    return dm
+
+
 class _Diis:
     """Pulay DIIS over flattened Fock matrices."""
 
@@ -573,12 +613,46 @@ def run_uhf(sc: Supercell, shells, kpts, beta: float = None,
                 e_tot=clean.e_tot, converged=True, eps=clean.eps,
                 c=clean.c, n_cycles=result.n_cycles + 1,
             )
+
+    # Final rescue: Fermi-smearing annealed to zero. Fractional
+    # occupations make the SCF map continuous in the band energies, so
+    # the two-cycle occupation oscillation the level shift cannot
+    # separate (e.g. Si diamond et-dz, docs/ROADMAP.md) relaxes to one
+    # self-consistent filling; shrinking sigma then recovers an
+    # integer-occupation UHF fixed point (the last stage runs sigma=0).
+    if not result.converged:
+        logging.info(
+            "run_uhf: level-shift rescue failed (E=%.8f); "
+            "Fermi-smearing anneal", result.e_tot,
+        )
+        dm = [_density(result.c[s], _fill_aufbau(result.eps[s], n_occ[s]))
+              for s in range(2)]
+        total_cycles = result.n_cycles
+        for sigma in (0.2, 0.1, 0.05, 0.02, 0.01, 0.005, 0.0):
+            result = _scf_cycles(
+                h_k, s_k, sr, lr, xi, e_nn, n_occ, dm, nk,
+                max_cycle=(30 if sigma > 0.0 else max_cycle),
+                conv_tol=conv_tol, damp=0.3, diis_start_cycle=3,
+                smearing_sigma=sigma,
+            )
+            total_cycles += result.n_cycles
+            logging.info(
+                "run_uhf: anneal sigma=%.3f -> E=%.8f converged=%s "
+                "(%d cycles)", sigma, result.e_tot, result.converged,
+                result.n_cycles,
+            )
+            # _scf_cycles updates `dm` in place: the next (colder) stage
+            # starts from this stage's final density
+        result = MeanField(
+            e_tot=result.e_tot, converged=result.converged,
+            eps=result.eps, c=result.c, n_cycles=total_cycles,
+        )
     return result
 
 
 def _scf_cycles(h_k, s_k, sr, lr, xi, e_nn, n_occ, dm, nk,
                 max_cycle=60, conv_tol=1e-8, level_shift=0.0,
-                damp=0.0, diis_start_cycle=1):
+                damp=0.0, diis_start_cycle=1, smearing_sigma=0.0):
     """The UHF cycle loop over prebuilt SR/LR two-electron blocks.
 
     `level_shift` raises the virtual manifold by a constant (F +=
@@ -586,7 +660,11 @@ def _scf_cycles(h_k, s_k, sr, lr, xi, e_nn, n_occ, dm, nk,
     converged density and the FDS-SDF error unchanged while damping
     occupation flips between near-degenerate bands. `damp` mixes the
     previous Fock into the current one for the first `diis_start_cycle`
-    cycles before Pulay extrapolation takes over."""
+    cycles before Pulay extrapolation takes over. `smearing_sigma` > 0
+    replaces aufbau integer occupations with Fermi-Dirac fractions
+    (anneal it to zero to escape occupation-oscillation fixed points;
+    do not combine with level_shift — the projector algebra assumes an
+    idempotent density)."""
     import logging
 
     diis = _Diis()
@@ -641,8 +719,14 @@ def _scf_cycles(h_k, s_k, sr, lr, xi, e_nn, n_occ, dm, nk,
 
         for s in range(2):
             eps_s[s], c_s[s] = _solve_bands(f_s[s], s_k)
-            occ_s = _fill_aufbau(eps_s[s], n_occ[s])
-            dm[s] = _density(c_s[s], occ_s)
+            if smearing_sigma > 0.0 and n_occ[s] > 0:
+                n_frac = _fermi_occupations(
+                    eps_s[s], n_occ[s], smearing_sigma
+                )
+                dm[s] = _density_frac(c_s[s], n_frac)
+            else:
+                occ_s = _fill_aufbau(eps_s[s], n_occ[s])
+                dm[s] = _density(c_s[s], occ_s)
 
         if cyc <= 3 or cyc % 10 == 0:
             logging.info(

@@ -225,6 +225,7 @@ def process(cfg, max_iterations: Optional[int] = None):
         steps=cfg.mcmc.steps,
         one_electron_moves=cfg.mcmc.one_electron,
         importance_network=net.slogdet if cfg.mcmc.importance_sampling else None,
+        psi_chunk=cfg.optim.get("psi_chunk", 0),
     )
 
     optimizer_name = cfg.optim.optimizer
@@ -252,6 +253,9 @@ def process(cfg, max_iterations: Optional[int] = None):
             ),
             max_damping=cfg.optim.kfac.get("max_damping", 1.0),
             capture_chunk=cfg.optim.get("psi_chunk", 0),
+            estimation_mode=cfg.optim.kfac.get(
+                "estimation_mode", "fisher_exact"
+            ),
         )
 
     total_energy = make_loss(

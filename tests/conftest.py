@@ -20,3 +20,12 @@ import jax  # noqa: E402
 # JAX_PLATFORMS; the config update below wins regardless.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite's dominant cost is XLA
+# recompilation of structurally identical programs across test files
+# (fp64, 8 virtual devices). The cache turns every rerun — and every
+# other process sharing it, e.g. a watching CI loop — into a cache hit.
+_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

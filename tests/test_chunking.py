@@ -94,3 +94,30 @@ def test_restore_elastic_batch_resize(tmp_path):
     # exact: untouched
     _, d8, _, _, _ = ckpt_lib.restore(path, 8)
     np.testing.assert_array_equal(d8, data)
+
+
+def test_importance_mcmc_chunked_equal():
+    """psi_chunk'd importance sampler == unchunked, same key.
+
+    VERDICT r3 weak #5: the Langevin value_and_grad path previously
+    ignored psi_chunk and would blow the memory plan at production batch.
+    Chunking is a memory transform — trajectories must match exactly.
+    """
+    from deepsolid_tpu.sampling.mcmc import make_mcmc_step
+
+    sc, net, params, data = _setup()
+    key = jax.random.PRNGKey(11)
+    width = jnp.asarray(0.2)
+
+    def run(psi_chunk):
+        step = make_mcmc_step(
+            net.batch_slogdet, sc.lattice, steps=3,
+            importance_network=net.slogdet, psi_chunk=psi_chunk,
+        )
+        new_data, pmove = jax.jit(step)(params, data, key, width)
+        return np.asarray(new_data), float(pmove)
+
+    d0, p0 = run(0)
+    d4, p4 = run(4)
+    np.testing.assert_allclose(d4, d0, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(p4, p0, rtol=1e-12)

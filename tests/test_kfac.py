@@ -345,3 +345,69 @@ def test_kfac_e2e_training():
         assert np.mean(variances[-5:]) < 0.5 * np.mean(variances[:5]), (
             variances,
         )
+
+
+def test_fisher_gradients_mode_unbiased():
+    """MC capture (estimation_mode='fisher_gradients') has the exact
+    two-pass factors as its expectation: averaging the g-factor sums over
+    many seeds must converge to fisher_exact's d_re^T d_re + d_im^T d_im
+    (reference estimator.py:264-269 semantics)."""
+    import dataclasses as _dc
+
+    sc, net, params, data, opt = small_setup(batch=4)
+    mc_opt = _dc.replace(opt, estimation_mode="fisher_gradients")
+
+    _, _, exact_diag = opt._factor_sums(params, data)
+    exact_dense, _, _ = opt._factor_sums(params, data)
+
+    name = next(iter(exact_dense))
+    g_exact = np.asarray(exact_dense[name][1])
+    a_exact = np.asarray(exact_dense[name][0])
+
+    n_seeds = 400
+    acc_g = 0.0
+    acc_a = 0.0
+    for i in range(n_seeds):
+        dense, _, _ = mc_opt._factor_sums(
+            params, data, rng=jax.random.PRNGKey(1000 + i)
+        )
+        acc_a = acc_a + np.asarray(dense[name][0])
+        acc_g = acc_g + np.asarray(dense[name][1])
+    # the A factor (layer inputs) is seed-independent — must match exactly
+    np.testing.assert_allclose(acc_a / n_seeds, a_exact, rtol=1e-10)
+    # the G factor is a 400-sample MC mean of a rank-1-per-walker
+    # estimator: compare at the statistical scale
+    scale = np.abs(g_exact).max()
+    err = np.abs(acc_g / n_seeds - g_exact).max() / scale
+    assert err < 0.25, f"MC G factor off by {err:.3f} of scale"
+
+
+def test_fisher_gradients_e2e_descends():
+    """One-pass MC curvature still trains: short KFAC run lowers the loss."""
+    import dataclasses as _dc
+    import functools
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from deepsolid_tpu.parallel import DATA_AXIS
+    from deepsolid_tpu.train.loss import make_loss
+
+    sc, net, params, data, opt = small_setup(batch=32)
+    opt = _dc.replace(opt, estimation_mode="fisher_gradients")
+    total_energy = make_loss(
+        net.logdet, net.batch_logdet, sc, mode="forward", network_obj=net
+    )
+    val_and_grad = jax.value_and_grad(total_energy, argnums=0, has_aux=True)
+    mesh = Mesh(np.asarray(jax.devices()[:1]), (DATA_AXIS,))
+    p = jax.device_put(params, NamedSharding(mesh, P()))
+    d = jax.device_put(np.asarray(data), NamedSharding(mesh, P(DATA_AXIS)))
+    state = opt.init(p, d, mesh)
+    noop_mcmc = lambda p_, d_, k_, w_: (d_, jnp.zeros(()))
+    step = opt.make_train_step(mesh, noop_mcmc, val_and_grad)
+    losses = []
+    key = jax.random.PRNGKey(2)
+    for _ in range(12):
+        key, sub = jax.random.split(key)
+        p, d, state, _, stats = step(p, d, state, sub, jnp.asarray(0.1))
+        losses.append(float(stats[0]))
+    assert losses[-1] < losses[0], losses

@@ -252,3 +252,75 @@ def test_uhf_cache_skips_unconverged_entries(tmp_path, monkeypatch):
     mf3 = hf_lib.run_uhf_cached(sc, shells, kpts, "sto-3g")
     assert mf3.converged and calls == [False, True]
     np.testing.assert_allclose(mf3.c[0][0], c[0][0])
+
+
+def test_fermi_occupations_sum_and_aufbau_limit():
+    """Fractional occupations sum to n_occ at any sigma; as sigma -> 0
+    they converge to the aufbau integer filling away from degeneracy."""
+    rng = np.random.default_rng(5)
+    eps_all = [np.sort(rng.uniform(-2.0, 2.0, 7)) for _ in range(3)]
+    n_occ = 9
+    for sigma in (0.5, 0.1, 0.01):
+        occ = hf_lib._fermi_occupations(eps_all, n_occ, sigma)
+        tot = sum(float(np.sum(o)) for o in occ)
+        assert abs(tot - n_occ) < 1e-6, (sigma, tot)
+        assert all(np.all((o >= 0) & (o <= 1)) for o in occ)
+    cold = hf_lib._fermi_occupations(eps_all, n_occ, 1e-5)
+    aufbau = hf_lib._fill_aufbau(eps_all, n_occ)
+    for ki, bands in enumerate(aufbau):
+        want = np.zeros(len(eps_all[ki]))
+        want[bands] = 1.0
+        np.testing.assert_allclose(cold[ki], want, atol=1e-6)
+
+
+def test_density_frac_matches_integer_at_unit_occupations():
+    rng = np.random.default_rng(6)
+    c = [rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))]
+    bands = [[0, 2]]
+    frac = [np.array([1.0, 0.0, 1.0, 0.0])]
+    np.testing.assert_allclose(
+        hf_lib._density_frac(c, frac), hf_lib._density(c, bands), atol=1e-14
+    )
+
+
+@pytest.mark.slow
+def test_smearing_anneal_reproduces_plain_uhf():
+    """The Fermi-smearing anneal (sigma=0 final stage) must land on the
+    same UHF fixed point a well-behaved plain SCF finds."""
+    cell = Cell.from_atoms(
+        [Atom("H", (0.0, 0.0, 0.0))], np.eye(3) * 14.0, spin=1
+    )
+    sc = make_supercell(cell, np.eye(3))
+    shells = build_shells(sc.prim, "sto-3g")
+    kpts = twisted_kpts(sc)
+    plain = hf_lib.run_uhf(sc, shells, kpts)
+    assert plain.converged
+
+    from deepsolid_tpu.ops.ewald import EwaldSum
+
+    prim = sc.prim
+    lattice = np.asarray(prim.lattice)
+    volume = abs(np.linalg.det(lattice))
+    beta = 5.0 / volume ** (1.0 / 3.0)
+    s_k, t_k, v_k = hf_lib.core_matrices(prim, shells, kpts, beta=beta)
+    h_k = t_k + v_k
+    sr = eri.SrBlocks(shells, lattice, kpts, beta, s_k, 1e-8)
+    gpts = eri.full_gpoints(lattice, beta)
+    lr = eri.LrBlocks(shells, lattice, kpts, beta, volume, gpts)
+    xi = hf_lib.exx_madelung(sc.lattice)
+    e_nn = EwaldSum.build(prim).madelung
+    n_occ = tuple(sc.nelec)
+    eps0, c0 = hf_lib._solve_bands(h_k, s_k)
+    dm = [
+        hf_lib._density(c0, hf_lib._fill_aufbau(eps0, n))
+        for n in n_occ
+    ]
+    # warm anneal stages, then the sigma=0 stage the rescue path ends on
+    for sigma in (0.2, 0.05, 0.01, 0.0):
+        res = hf_lib._scf_cycles(
+            h_k, s_k, sr, lr, xi, e_nn, n_occ, dm, kpts.shape[0],
+            conv_tol=1e-8, damp=0.3, diis_start_cycle=3,
+            smearing_sigma=sigma,
+        )
+    assert res.converged
+    np.testing.assert_allclose(res.e_tot, plain.e_tot, atol=1e-7)
