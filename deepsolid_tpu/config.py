@@ -80,10 +80,12 @@ def default() -> ml_collections.ConfigDict:
                     # Fisher estimation mode (reference estimator.py:264-320):
                     # 'fisher_exact' (production default here and upstream)
                     # sums the exact per-output one-hot cotangents (two
-                    # backward passes: re + im); 'fisher_gradients' is the
-                    # cheap MC fallback — ONE backward pass seeded with
-                    # sqrt(2)*N(0,1), unbiased for the same factors with
-                    # sampling noise the cov EMA averages out.
+                    # backward passes: re + im); 'fisher_gradients' and
+                    # 'fisher_curvature_prop' are the cheap MC fallbacks —
+                    # ONE backward pass seeded with sqrt(2)*N(0,1) /
+                    # sqrt(2)*Rademacher respectively, unbiased for the
+                    # same factors with sampling noise the cov EMA
+                    # averages out.
                     "estimation_mode": "fisher_exact",
                 },
                 "ministeps": 1,
@@ -187,7 +189,9 @@ def default() -> ml_collections.ConfigDict:
                 "lr": 3e-4,
                 "steps": 1,
                 # orbital-source SCF level: 'core' (core-Hamiltonian
-                # bands) or 'hf' (self-consistent UHF, scf/hf.run_uhf)
+                # bands), 'hf' (self-consistent UHF, scf/hf.run_uhf), or
+                # 'rhf' (restricted KRHF, closed shells — the reference's
+                # bridge supports both, hf.py:61-81)
                 "scf": "core",
             },
         }

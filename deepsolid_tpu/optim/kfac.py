@@ -293,12 +293,22 @@ class KfacOptimizer:
         # ONE vjp over a shared forward trace; the (one or two) backward
         # passes reuse its residuals (VERDICT r2 weak #8).
         (_, vjp_ri, taps) = jax.vjp(f_ri, eps0, diag_params, has_aux=True)
-        if self.estimation_mode == "fisher_gradients" and rng is not None:
-            # MC Fisher (estimator.py:264-269): one backward pass seeded
-            # with sqrt(2)*z, z ~ N(0,1) over both (re, im) output rows;
-            # E[z z^T] = I makes the factor expectation equal the exact
-            # two-pass sum at half the backward cost.
-            z = jax.random.normal(rng, (batch, 2), dtype)
+        if self.estimation_mode in (
+            "fisher_gradients", "fisher_curvature_prop"
+        ) and rng is not None:
+            # MC Fisher, one backward pass at half the exact mode's cost:
+            # 'fisher_gradients' (estimator.py:264-269) seeds with
+            # sqrt(2)*z, z ~ N(0,1) (grad_of_evaluate_on_sample);
+            # 'fisher_curvature_prop' (estimator.py:271-282) with
+            # sqrt(2)*r, r ~ Rademacher (multiply_fisher_factor of +-1).
+            # Both have E[z z^T] = I over the (re, im) output rows, so the
+            # factor expectation equals the exact two-pass sum.
+            if self.estimation_mode == "fisher_curvature_prop":
+                z = (
+                    2.0 * jax.random.bernoulli(rng, 0.5, (batch, 2)) - 1.0
+                ).astype(dtype)
+            else:
+                z = jax.random.normal(rng, (batch, 2), dtype)
             dy_mc, dg_mc = vjp_ri(jnp.sqrt(jnp.asarray(2.0, dtype)) * z)
             zero_dy = jax.tree_util.tree_map(jnp.zeros_like, dy_mc)
             zero_dg = jax.tree_util.tree_map(jnp.zeros_like, dg_mc)
@@ -361,7 +371,9 @@ class KfacOptimizer:
         batch = data.shape[0]
         chunk = self.capture_chunk
         rng = None
-        if self.estimation_mode == "fisher_gradients":
+        if self.estimation_mode in (
+            "fisher_gradients", "fisher_curvature_prop"
+        ):
             # deterministic per-step MC seed, decorrelated across the
             # data axis (each shard folds its own axis index)
             rng = jax.random.fold_in(

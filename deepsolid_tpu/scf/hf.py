@@ -527,14 +527,17 @@ class MeanField:
 
 def run_uhf(sc: Supercell, shells, kpts, beta: float = None,
             eps_eri: float = 1e-8, max_cycle: int = 60,
-            conv_tol: float = 1e-8) -> MeanField:
+            conv_tol: float = 1e-8, restricted: bool = False) -> MeanField:
     """Self-consistent periodic UHF with Ewald-split J/K.
 
     Fock: F^s = h + J[D_tot] - K[D^s] with the SR erfc ERIs
     (eri.sr_eri_tensors) + reciprocal-space LR blocks (eri.LrBlocks) and
     the exxdiv='ewald' Madelung correction on K. Energy is per primitive
     cell; nuclear repulsion from the primitive-cell Ewald sum. Parity
-    target: the reference's PySCF KRHF bridge (hf.py:44-218).
+    target: the reference's PySCF bridge (hf.py:44-218) — which supports
+    BOTH KRHF and KUHF (hf.py:61-81); `restricted=True` is the KRHF path
+    (closed shells only: the spin manifolds are tied, one band solve per
+    cycle, alpha orbitals == beta orbitals by construction).
     """
     from deepsolid_tpu.ops.ewald import EwaldSum
     from deepsolid_tpu.scf import eri as eri_lib
@@ -566,13 +569,18 @@ def run_uhf(sc: Supercell, shells, kpts, beta: float = None,
     e_nn = EwaldSum.build(prim).madelung
 
     n_occ = tuple(sc.nelec)
+    if restricted and n_occ[0] != n_occ[1]:
+        raise ValueError(
+            f"restricted=True (KRHF) requires a closed shell; got "
+            f"nelec={n_occ}"
+        )
     eps0, c0 = _solve_bands(h_k, s_k)
     occ = [_fill_aufbau(eps0, n) for n in n_occ]
     dm = [_density(c0, o) for o in occ]
 
     result = _scf_cycles(
         h_k, s_k, sr, lr, xi, e_nn, n_occ, dm, nk,
-        max_cycle=max_cycle, conv_tol=conv_tol,
+        max_cycle=max_cycle, conv_tol=conv_tol, restricted=restricted,
     )
     # Rescue ladder for oscillating cases (diffuse/near-degenerate
     # bases): restart from the best density with a level shift on the
@@ -597,7 +605,8 @@ def run_uhf(sc: Supercell, shells, kpts, beta: float = None,
               for s in range(2)]
         result = _scf_cycles(
             h_k, s_k, sr, lr, xi, e_nn, n_occ, dm, nk,
-            max_cycle=max_cycle, conv_tol=conv_tol, **attempt,
+            max_cycle=max_cycle, conv_tol=conv_tol,
+            restricted=restricted, **attempt,
         )
         if result.converged:
             # one unshifted build+solve from the converged density so the
@@ -607,7 +616,7 @@ def run_uhf(sc: Supercell, shells, kpts, beta: float = None,
                   for s in range(2)]
             clean = _scf_cycles(
                 h_k, s_k, sr, lr, xi, e_nn, n_occ, dm, nk, max_cycle=1,
-                conv_tol=conv_tol,
+                conv_tol=conv_tol, restricted=restricted,
             )
             result = MeanField(
                 e_tot=clean.e_tot, converged=True, eps=clean.eps,
@@ -633,7 +642,7 @@ def run_uhf(sc: Supercell, shells, kpts, beta: float = None,
                 h_k, s_k, sr, lr, xi, e_nn, n_occ, dm, nk,
                 max_cycle=(30 if sigma > 0.0 else max_cycle),
                 conv_tol=conv_tol, damp=0.3, diis_start_cycle=3,
-                smearing_sigma=sigma,
+                smearing_sigma=sigma, restricted=restricted,
             )
             total_cycles += result.n_cycles
             logging.info(
@@ -652,7 +661,8 @@ def run_uhf(sc: Supercell, shells, kpts, beta: float = None,
 
 def _scf_cycles(h_k, s_k, sr, lr, xi, e_nn, n_occ, dm, nk,
                 max_cycle=60, conv_tol=1e-8, level_shift=0.0,
-                damp=0.0, diis_start_cycle=1, smearing_sigma=0.0):
+                damp=0.0, diis_start_cycle=1, smearing_sigma=0.0,
+                restricted=False):
     """The UHF cycle loop over prebuilt SR/LR two-electron blocks.
 
     `level_shift` raises the virtual manifold by a constant (F +=
@@ -718,6 +728,12 @@ def _scf_cycles(h_k, s_k, sr, lr, xi, e_nn, n_occ, dm, nk,
             ]
 
         for s in range(2):
+            if restricted and s == 1:
+                # KRHF: tie the beta manifold to alpha (one band solve)
+                eps_s[1] = eps_s[0]
+                c_s[1] = c_s[0]
+                dm[1] = dm[0].copy()
+                continue
             eps_s[s], c_s[s] = _solve_bands(f_s[s], s_k)
             if smearing_sigma > 0.0 and n_occ[s] > 0:
                 n_frac = _fermi_occupations(
@@ -788,11 +804,12 @@ def _uhf_cache_path(sc: Supercell, basis: str, kpts: np.ndarray,
 
 
 def run_uhf_cached(sc: Supercell, shells, kpts,
-                   basis: str) -> "MeanField":
+                   basis: str, restricted: bool = False) -> "MeanField":
     """run_uhf with a content-addressed disk cache of (eps, C)."""
     import os
 
-    path = _uhf_cache_path(sc, basis, kpts, shells)
+    key = basis + (":rhf" if restricted else "")
+    path = _uhf_cache_path(sc, key, kpts, shells)
     if path and os.path.exists(path):
         try:
             with np.load(path) as f:
@@ -816,7 +833,7 @@ def run_uhf_cached(sc: Supercell, shells, kpts,
                 return cached
         except Exception:
             pass  # corrupt cache entry: recompute
-    mf = run_uhf(sc, shells, kpts)
+    mf = run_uhf(sc, shells, kpts, restricted=restricted)
     if path:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         payload = {
@@ -863,14 +880,17 @@ class ScfOrbitals:
     @classmethod
     def build(cls, sc: Supercell, basis: str = "sto-3g",
               twist=(0.0, 0.0, 0.0), level: str = "core") -> "ScfOrbitals":
-        """level: 'core' (core-Hamiltonian bands, fast) or 'hf' (full
-        self-consistent UHF via run_uhf, parity with the reference's
-        PySCF KRHF bridge)."""
+        """level: 'core' (core-Hamiltonian bands, fast), 'hf' (full
+        self-consistent UHF via run_uhf), or 'rhf' (restricted KRHF,
+        closed shells — the reference's PySCF bridge supports both,
+        hf.py:61-81)."""
         prim = sc.prim
         shells = basis_lib.build_shells(prim, basis)
         kpts = twisted_kpts(sc, twist)
-        if level == "hf":
-            mf = run_uhf_cached(sc, shells, kpts, basis)
+        if level in ("hf", "rhf"):
+            mf = run_uhf_cached(
+                sc, shells, kpts, basis, restricted=(level == "rhf")
+            )
             eps_spin = mf.eps
             c_spin = mf.c
         elif level == "core":

@@ -10,6 +10,7 @@ checkpoint.py:157-160).
 from __future__ import annotations
 
 import datetime
+import logging
 import os
 import pickle
 import zipfile
@@ -88,11 +89,30 @@ def restore(restore_filename: str, batch_size: Optional[int] = None):
         mcmc_width = ckpt["mcmc_width"].tolist()
         if batch_size and data.shape[0] != batch_size:
             # elastic batch resize: tile (or truncate) the walker axis.
-            # Tiled duplicates decorrelate over the next MCMC sweeps; the
-            # optimizer/param state is batch-independent. The reference
+            # The optimizer/param state is batch-independent. The reference
             # hard-errors here (checkpoint.py:157-160) — resizing keeps
             # restarts elastic across batch sizes as well as device counts.
+            # Tiled COPIES beyond the first are jittered (sigma from the
+            # equilibrated proposal width when available) so the restored
+            # batch carries no exactly-duplicated walkers, and the first
+            # post-restore statistics are only correlated, not degenerate;
+            # a warning reminds the user to let the chain re-equilibrate.
             n = data.shape[0]
+            if batch_size > n:
+                logging.warning(
+                    "Elastic restore: growing the walker batch %d -> %d by "
+                    "jittered tiling; statistics are correlated until the "
+                    "chain re-equilibrates (a few MCMC adaptation windows).",
+                    n, batch_size,
+                )
             reps = -(-batch_size // n)
-            data = np.tile(data, (reps, 1))[:batch_size]
+            tiled = np.tile(data, (reps, 1))[:batch_size]
+            if batch_size > n:
+                width = mcmc_width if np.ndim(mcmc_width) == 0 else None
+                sigma = 0.3 * float(width) if width else 1e-2
+                rng = np.random.default_rng(t)
+                tiled[n:] = tiled[n:] + sigma * rng.standard_normal(
+                    tiled[n:].shape
+                ).astype(tiled.dtype)
+            data = tiled
     return t, data, params, opt_state, mcmc_width

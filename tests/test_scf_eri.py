@@ -324,3 +324,37 @@ def test_smearing_anneal_reproduces_plain_uhf():
         )
     assert res.converged
     np.testing.assert_allclose(res.e_tot, plain.e_tot, atol=1e-7)
+
+
+def test_krhf_matches_uhf_closed_shell():
+    """restricted=True (KRHF, reference hf.py:61-81 parity): for a
+    closed-shell system the restricted fixed point coincides with the
+    UHF one, and the spin manifolds are tied by construction."""
+    sc, shells = setup_h2()
+    kpts = twisted_kpts(sc)
+    u = hf_lib.run_uhf(sc, shells, kpts)
+    r = hf_lib.run_uhf(sc, shells, kpts, restricted=True)
+    assert u.converged and r.converged
+    np.testing.assert_allclose(r.e_tot, u.e_tot, atol=1e-7)
+    for ck_a, ck_b in zip(r.c[0], r.c[1]):
+        np.testing.assert_array_equal(ck_a, ck_b)
+    for ek_a, ek_b in zip(r.eps[0], r.eps[1]):
+        np.testing.assert_array_equal(ek_a, ek_b)
+
+
+def test_krhf_rejects_open_shell():
+    cell = Cell.from_atoms(
+        [Atom("H", (0.0, 0.0, 0.0))], np.eye(3) * 8.0, spin=1
+    )
+    sc = make_supercell(cell, np.eye(3))
+    shells = build_shells(sc.prim, "sto-3g")
+    with pytest.raises(ValueError, match="closed shell"):
+        hf_lib.run_uhf(sc, shells, twisted_kpts(sc), restricted=True)
+
+
+def test_scforbitals_rhf_level():
+    """cfg.pretrain.scf='rhf' builds a restricted orbital source whose
+    spin channels share one set of bands."""
+    sc, shells = setup_h2()
+    src = hf_lib.ScfOrbitals.build(sc, basis="sto-3g", level="rhf")
+    np.testing.assert_array_equal(src.c_occ[0][0], src.c_occ[1][0])
