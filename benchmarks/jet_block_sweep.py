@@ -1,0 +1,81 @@
+"""Sweep the fused jet kernel's tangent block size on the real chip.
+
+The trunk forward-Laplacian jets carry ~60% of E_L wall time (round-4
+component profile) and are NOT MXU-bound (tangent-precision A/B: 1.017x),
+so the VMEM tiling is the remaining kernel knob: block_t rows per grid
+step trade sequential grid iterations against VMEM residency
+(DEEPSOLID_TPU_JET_BLOCK_T, ops/pallas/jet_kernels.py:_default_block_t).
+
+Each block_t value runs in a fresh subprocess (the env var is read at
+first kernel build) timing the kinetic-only path at production chunk.
+
+Usage: python benchmarks/jet_block_sweep.py [values ...]  (default 4 8 16 32)
+"""
+import json
+import os
+import subprocess
+import sys
+
+CHILD = r"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update("jax_default_matmul_precision", "highest")
+from deepsolid_tpu.models.fwdlap_forward import make_kinetic_forward
+from deepsolid_tpu.sampling.init import init_electrons
+from __graft_entry__ import _diamond_network
+
+batch, chunk = 256, 64
+sc, net = _diamond_network(S=2)
+key = jax.random.PRNGKey(0)
+params = net.init(key)
+data = init_electrons(key, sc, sc.nelec, batch_size=batch)
+kin = make_kinetic_forward(net)
+vm = jax.vmap(kin, in_axes=(None, 0))
+
+@jax.jit
+def run(params, data):
+    def body(c, i):
+        d = data + 1e-4 * (i + 2.0) + 1e-30 * c
+        chunks = d.reshape(batch // chunk, chunk, d.shape[-1])
+        ke = jax.lax.map(lambda x: vm(params, x), chunks)
+        return jnp.real(ke).mean().astype(jnp.float32), 0.0
+    c, _ = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32),
+                        jnp.arange(3, dtype=jnp.float32))
+    return c
+
+float(np.asarray(run(params, data)))
+t0 = time.perf_counter()
+float(np.asarray(run(params, data + 1e-5)))
+dt = time.perf_counter() - t0
+print("RATE", batch * 3 / dt)
+"""
+
+
+def main():
+    values = [int(v) for v in sys.argv[1:]] or [4, 8, 16, 32]
+    out = {}
+    for bt in values:
+        env = dict(os.environ)
+        env["DEEPSOLID_TPU_JET_BLOCK_T"] = str(bt)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", CHILD], env=env, timeout=1500,
+                capture_output=True, text=True, cwd="/root/repo",
+            )
+            rate = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("RATE"):
+                    rate = round(float(line.split()[1]), 2)
+            out[bt] = rate if proc.returncode == 0 else (
+                f"rc={proc.returncode}: " + proc.stderr[-200:]
+            )
+        except subprocess.TimeoutExpired:
+            out[bt] = "TIMEOUT"
+        print(json.dumps({str(bt): out[bt]}), flush=True)
+    print(json.dumps({"block_t_kinetic_walkers_per_s": out}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

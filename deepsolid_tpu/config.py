@@ -143,6 +143,9 @@ def default() -> ml_collections.ConfigDict:
                 #   ~n_elec times smaller, but each sweep costs n_elec
                 #   full evals — no low-rank determinant updates here or
                 #   upstream) and is not worth its n_elec-fold eval count.
+                # The importance sampler's per-move value_and_grad honors
+                # optim.psi_chunk (round 4), so it fits the same memory
+                # plan as the default sampler at production batch.
                 "importance_sampling": False,
                 "one_electron": False,
             },

@@ -118,6 +118,7 @@ def test_h5writer_optional():
             np.testing.assert_allclose(f["e"][1], 2.0)
 
 
+@pytest.mark.slow  # heavyweight oracle; lighter default-suite coverage exists
 def test_use_last_layer_network_and_fwdlap():
     from deepsolid_tpu.models.fwdlap_forward import make_kinetic_forward
     from deepsolid_tpu.models.network import NetworkConfig, make_network

@@ -11,6 +11,7 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import Mesh, PartitionSpec as P
 
 from deepsolid_tpu.models.fwdlap_forward import make_kinetic_forward
@@ -54,6 +55,7 @@ def test_deriv_sharded_kinetic_matches():
         )
 
 
+@pytest.mark.slow  # heavyweight oracle; the e2e 2-D-mesh driver test and the 1-D deriv equality stay in the default suite
 def test_deriv_and_data_axes_compose():
     """2-D mesh ('data', 'deriv'): batched kinetic over both axes."""
     sc = lih_supercell()

@@ -80,6 +80,7 @@ def test_kinetic_matches_hessian(full_det, distance_type):
     np.testing.assert_allclose(got, want, rtol=1e-7)
 
 
+@pytest.mark.slow  # heavyweight oracle; lighter default-suite coverage exists
 def test_kinetic_matches_hessian_spin_polarized():
     from deepsolid_tpu.system import Atom, Cell, make_supercell
 

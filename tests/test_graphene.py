@@ -87,6 +87,7 @@ def test_graphene_antisymmetry():
     assert jnp.allclose(p1, -p2)
 
 
+@pytest.mark.slow  # heavyweight oracle; lighter default-suite coverage exists
 def test_graphene_forward_kinetic_matches_hessian():
     """The analytic feature jets must be exact on the EXTENDED hexagonal
     AV/BV set, not just the minimal one."""

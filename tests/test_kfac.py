@@ -272,6 +272,7 @@ def test_adaptive_damping_rho_rule():
     assert float(st["damping"]) >= 9e-4 - 1e-12
 
 
+@pytest.mark.slow  # heavyweight oracle; lighter default-suite coverage exists
 def test_kfac_e2e_adaptive_damping():
     """Training with adaptive damping runs end-to-end and logs a damping
     trajectory that actually moves."""

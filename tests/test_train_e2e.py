@@ -133,6 +133,7 @@ def test_train_profiler_trace_from_config():
         assert files, "trace_path set but no trace files were written"
 
 
+@pytest.mark.slow  # heavyweight oracle; lighter default-suite coverage exists
 def test_train_importance_and_one_electron_sampling():
     """Driver wiring of the Langevin-importance and one-electron MCMC."""
     from deepsolid_tpu.train import process
