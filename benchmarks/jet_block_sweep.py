@@ -9,7 +9,13 @@ step trade sequential grid iterations against VMEM residency
 Each block_t value runs in a fresh subprocess (the env var is read at
 first kernel build) timing the kinetic-only path at production chunk.
 
-Usage: python benchmarks/jet_block_sweep.py [values ...]  (default 4 8 16 32)
+Values are block_t integers or "bn:bt" pairs (bn = row block,
+DEEPSOLID_TPU_JET_BLOCK_N; "auto" row blocking minimizes electron-row
+padding — n=96 tiles exactly at bn=96 where the legacy fixed 64 padded
+to 128).
+
+Usage: python benchmarks/jet_block_sweep.py [values ...]
+       (default: 8 16 32 64:8 auto:8 auto:16 auto:32)
 """
 import json
 import os
@@ -54,11 +60,17 @@ print("RATE", batch * 3 / dt)
 
 
 def main():
-    values = [int(v) for v in sys.argv[1:]] or [4, 8, 16, 32]
+    values = sys.argv[1:] or ["8", "16", "32", "64:8", "auto:8",
+                              "auto:16", "auto:32"]
     out = {}
-    for bt in values:
+    for spec in values:
+        bn, _, bt = spec.rpartition(":")
         env = dict(os.environ)
-        env["DEEPSOLID_TPU_JET_BLOCK_T"] = str(bt)
+        env["DEEPSOLID_TPU_JET_BLOCK_T"] = bt
+        if bn:
+            env["DEEPSOLID_TPU_JET_BLOCK_N"] = bn
+        else:
+            env.pop("DEEPSOLID_TPU_JET_BLOCK_N", None)
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", CHILD], env=env, timeout=1500,
@@ -68,13 +80,13 @@ def main():
             for line in proc.stdout.splitlines():
                 if line.startswith("RATE"):
                     rate = round(float(line.split()[1]), 2)
-            out[bt] = rate if proc.returncode == 0 else (
+            out[spec] = rate if proc.returncode == 0 else (
                 f"rc={proc.returncode}: " + proc.stderr[-200:]
             )
         except subprocess.TimeoutExpired:
-            out[bt] = "TIMEOUT"
-        print(json.dumps({str(bt): out[bt]}), flush=True)
-    print(json.dumps({"block_t_kinetic_walkers_per_s": out}, indent=1))
+            out[spec] = "TIMEOUT"
+        print(json.dumps({spec: out[spec]}), flush=True)
+    print(json.dumps({"block_kinetic_walkers_per_s": out}, indent=1))
 
 
 if __name__ == "__main__":

@@ -41,6 +41,32 @@ def _default_block_t():
     return int(os.environ.get("DEEPSOLID_TPU_JET_BLOCK_T", "8"))
 
 
+def _pick_bn(n: int, block_n) -> int:
+    """Electron-row block size for one grid step.
+
+    'auto' picks, among multiples of 8 up to 128, the bn whose
+    round_up(n, bn) padding is minimal (largest such bn on ties): the
+    row dimension is electrons-per-walker, which is rarely a power of
+    two — e.g. n=96 (C-diamond 2x2x2) gets bn=96 / zero padded rows
+    where a fixed bn=64 padded to 128 (33% wasted MXU rows and HBM
+    stream), and n=162 (bcc-Li 3x3x3) gets bn=56 / 6 padded rows
+    instead of 64 / 30. An integer (or DEEPSOLID_TPU_JET_BLOCK_N)
+    forces the legacy fixed-size behavior for sweeps."""
+    if block_n is None or block_n == "auto":
+        import os
+
+        env = os.environ.get("DEEPSOLID_TPU_JET_BLOCK_N", "auto")
+        block_n = env if env == "auto" else int(env)
+    if block_n != "auto":
+        return min(int(block_n), _round_up(n, 8))
+    best_bn, best_pad = 8, None
+    for bn in range(8, 129, 8):
+        pad = _round_up(n, bn) - n
+        if best_pad is None or pad <= best_pad:
+            best_bn, best_pad = bn, pad
+    return best_bn
+
+
 def _kernel(val_ref, lap_ref, jac_ref, w_ref, b_ref,
             val_o_ref, lap_o_ref, jac_o_ref, acc_ref, t_scr_ref,
             *, jac_precision=jax.lax.Precision.HIGHEST):
@@ -133,7 +159,7 @@ def fused_dense_tanh_jet_partial(
     lap: jnp.ndarray,   # (n, d_in)
     w: jnp.ndarray,     # (d_in, d_out)
     b: jnp.ndarray,     # (d_out,)
-    block_n: int = 64,
+    block_n=None,
     block_c: int = 128,
     block_t: int | None = None,
     jac_precision=jax.lax.Precision.HIGHEST,
@@ -145,7 +171,7 @@ def fused_dense_tanh_jet_partial(
     mesh axis; see ops/fwdlap.dense_tanh)."""
     t_dim, n, d_in = jac.shape
     d_out = w.shape[1]
-    bn = min(block_n, _round_up(n, 8))
+    bn = _pick_bn(n, block_n)
     bc = min(block_c, _round_up(d_out, 128))
     if block_t is None:
         block_t = _default_block_t()
@@ -222,7 +248,7 @@ def fused_dense_tanh_jet(
     lap: jnp.ndarray,   # (n, d_in)
     w: jnp.ndarray,     # (d_in, d_out)
     b: jnp.ndarray,     # (d_out,)
-    block_n: int = 64,
+    block_n=None,
     block_c: int = 128,
     block_t: int | None = None,
     jac_precision=jax.lax.Precision.HIGHEST,
@@ -230,7 +256,7 @@ def fused_dense_tanh_jet(
     """(val_out, jac_out, lap_out) of the tanh(dense(.)) jet rule."""
     t_dim, n, d_in = jac.shape
     d_out = w.shape[1]
-    bn = min(block_n, _round_up(n, 8))
+    bn = _pick_bn(n, block_n)
     bc = min(block_c, _round_up(d_out, 128))
     if block_t is None:
         block_t = _default_block_t()
@@ -403,7 +429,7 @@ def _fused_mix_call(kernel, n_outs, val, jac, lap, zbc, lbc, jbc, w, b,
                     jac_precision=jax.lax.Precision.HIGHEST):
     t_dim, n, d_in = jac.shape
     d_out = w.shape[1]
-    bn = min(block_n, _round_up(n, 8))
+    bn = _pick_bn(n, block_n)
     bc = min(block_c, _round_up(d_out, 128))
     if block_t is None:
         block_t = _default_block_t()
@@ -475,7 +501,7 @@ def fused_dense_tanh_jet_mix(
     val, jac, lap,       # row-varying parts: (n, d_in), (T, n, d_in), (n, d_in)
     zbc, lbc, jbc,       # row-constant contractions: (d_out,), (d_out,), (T, d_out)
     w, b,                # (d_in, d_out), (d_out,)
-    block_n: int = 64,
+    block_n=None,
     block_c: int = 128,
     block_t: int | None = None,
     jac_precision=jax.lax.Precision.HIGHEST,
@@ -494,7 +520,7 @@ def fused_dense_tanh_jet_mix(
 )
 def fused_dense_tanh_jet_mix_partial(
     val, jac, lap, zbc, lbc, jbc, w, b,
-    block_n: int = 64,
+    block_n=None,
     block_c: int = 128,
     block_t: int | None = None,
     jac_precision=jax.lax.Precision.HIGHEST,

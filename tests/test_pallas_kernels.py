@@ -148,3 +148,36 @@ def test_tangent_precision_plumbing(monkeypatch):
     # between the kernel scratch loop and the jnp reduction
     np.testing.assert_allclose(np.asarray(l), np.asarray(base.lap),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pick_bn_auto_minimizes_padding():
+    from deepsolid_tpu.ops.pallas.jet_kernels import _pick_bn
+
+    assert _pick_bn(96, None) == 96     # C-diamond 2x2x2: zero padding
+    assert _pick_bn(162, None) == 56    # bcc-Li 3x3x3: 168 rows, 6 pad
+    assert _pick_bn(64, None) == 64
+    assert _pick_bn(10, None) == 16     # round_up(10, 8) = 16, pad 6
+    assert _pick_bn(256, None) == 128   # large n: cap at 128, zero pad
+    assert _pick_bn(96, 64) == 64       # explicit override keeps legacy
+    assert _pick_bn(4, 64) == 8         # explicit caps at round_up(n, 8)
+
+
+def test_fused_dense_tanh_jet_interpret_auto_bn(monkeypatch):
+    """Auto block_n (n=96 -> bn=96, no padded rows) matches the jnp rule."""
+    from deepsolid_tpu.ops.pallas import jet_kernels
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(jet_kernels.pl, "pallas_call", interp_call)
+
+    val, jac, lap, w, b = make_case(t_dim=8, n=96, d_in=32, d_out=16)
+    got = jet_kernels.fused_dense_tanh_jet(val, jac, lap, w, b, block_t=4)
+    want = jet_kernels.dense_tanh_jet_reference(val, jac, lap, w, b)
+    for g, wnt, name in zip(got, want, ("val", "jac", "lap")):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(wnt), rtol=2e-5, atol=2e-5, err_msg=name
+        )
