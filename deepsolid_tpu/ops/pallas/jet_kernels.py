@@ -183,6 +183,12 @@ def fused_dense_tanh_jet_partial(
     t_pad = _round_up(t_dim, bt)
 
     def pad(x, shape):
+        # aligned shapes skip the materialized HBM copy entirely — with
+        # auto block_n this is the common case for the one-stream jets
+        # (the biggest tensor of the layer would otherwise cross HBM an
+        # extra 2x: zero-fill + copy on the way in, slice on the way out)
+        if tuple(x.shape) == tuple(shape):
+            return x
         out = jnp.zeros(shape, x.dtype)
         return out.at[tuple(slice(0, s) for s in x.shape)].set(x)
 
@@ -268,6 +274,12 @@ def fused_dense_tanh_jet(
     t_pad = _round_up(t_dim, bt)
 
     def pad(x, shape):
+        # aligned shapes skip the materialized HBM copy entirely — with
+        # auto block_n this is the common case for the one-stream jets
+        # (the biggest tensor of the layer would otherwise cross HBM an
+        # extra 2x: zero-fill + copy on the way in, slice on the way out)
+        if tuple(x.shape) == tuple(shape):
+            return x
         out = jnp.zeros(shape, x.dtype)
         return out.at[tuple(slice(0, s) for s in x.shape)].set(x)
 
@@ -441,6 +453,12 @@ def _fused_mix_call(kernel, n_outs, val, jac, lap, zbc, lbc, jbc, w, b,
     t_pad = _round_up(t_dim, bt)
 
     def pad(x, shape):
+        # aligned shapes skip the materialized HBM copy entirely — with
+        # auto block_n this is the common case for the one-stream jets
+        # (the biggest tensor of the layer would otherwise cross HBM an
+        # extra 2x: zero-fill + copy on the way in, slice on the way out)
+        if tuple(x.shape) == tuple(shape):
+            return x
         out = jnp.zeros(shape, x.dtype)
         return out.at[tuple(slice(0, s) for s in x.shape)].set(x)
 
