@@ -36,16 +36,6 @@ def _channel_ranges(spins):
     return ranges
 
 
-def _dense_rows_global(jac3: jnp.ndarray, n_total: int, offset: int):
-    """(3, rows, ...) row-sparse jac -> (3*n_total, rows, ...) dense jac,
-    where row r corresponds to global electron offset + r."""
-    rows = jac3.shape[1]
-    out = jnp.zeros((n_total, 3) + jac3.shape[1:], dtype=jac3.dtype)
-    idx_e = offset + jnp.arange(rows)
-    out = out.at[idx_e, :, jnp.arange(rows)].set(jnp.moveaxis(jac3, 0, 1))
-    return out.reshape((3 * n_total,) + jac3.shape[1:])
-
-
 def _slice_tangents(jac, deriv_axis):
     """Keep only this device's tangent slice (dense reps only)."""
     if deriv_axis is None:
@@ -233,46 +223,53 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig,
             return envelope_fn(to_env[None], env_params)[0]  # (nparam,)
 
         envr = jax.vmap(lambda r: fl.jet_of_function(env_fn, r))(pos[s:e])
-        env_jet = fl.Jet(
-            val=envr.val,
-            jac=_slice_tangents(
-                _dense_rows_global(jnp.moveaxis(envr.jac, 1, 0), n, s),
-                deriv_axis,
-            ),
-            lap=envr.lap,
-        )
-        orb = fl.mul(orb, env_jet, axis_name=deriv_axis)
 
         norb = sum(spins) if cfg.full_det else spin
+        ndet = cfg.determinants
         # (spin, ndet*norb) -> (ndet, spin, norb); linear_op maps the same
         # reshape+transpose over value, tangents, and laplacian rows
         orb = fl.linear_op(
-            lambda v: v.reshape(v.shape[:-2] + (spin, cfg.determinants, norb))
+            lambda v: v.reshape(v.shape[:-2] + (spin, ndet, norb))
             .swapaxes(-3, -2),
             orb,
         )
 
-        # Bloch phases: analytic per-electron jets
+        # Bloch phases: analytic per-electron jets (spin, norb)
         kcol = k_cols if cfg.full_det else klist[ch]  # (norb, 3)
         phase_val = jnp.exp(1j * pos[s:e] @ kcol.T)  # (spin, norb)
         phase_jac3 = (
             1j * kcol.T[:, None, :] * phase_val[None]
         )  # (3, spin, norb)
-        phase_jet = fl.Jet(
-            val=phase_val,
-            jac=_slice_tangents(
-                _dense_rows_global(phase_jac3, n, s), deriv_axis
-            ),
-            lap=-jnp.sum(kcol**2, axis=-1)[None] * phase_val,
+        phase_lap = -jnp.sum(kcol**2, axis=-1)[None] * phase_val
+
+        # Fused envelope*phase ROW-LOCAL jet: both factors depend only on
+        # each orbital row's own electron, so their product jet is formed
+        # at (3, spin, ndet, norb) cost and multiplied into the orbital
+        # jet with fl.mul_row — ONE pass over the big (T, ndet, spin,
+        # norb) tangent stream plus thin scatter/gather corrections,
+        # instead of two dense fl.mul passes against materialized
+        # (3N, ...) jets that are zero outside 3 tangent rows per
+        # electron (the former _dense_rows_global path).
+        env_val = envr.val.reshape(spin, ndet, norb)
+        env_jac3 = jnp.moveaxis(envr.jac, 1, 0).reshape(3, spin, ndet, norb)
+        env_lap = envr.lap.reshape(spin, ndet, norb)
+        ep_val = env_val * phase_val[:, None, :]
+        ep_jac3 = (
+            env_jac3 * phase_val[None, :, None, :]
+            + env_val[None] * phase_jac3[:, :, None, :]
         )
-        # broadcast phases over the det axis
-        phase_b = fl.linear_op(
-            lambda v: jnp.broadcast_to(
-                v[..., None, :, :], v.shape[:-2] + (cfg.determinants,) + v.shape[-2:]
-            ),
-            phase_jet,
+        ep_lap = (
+            env_lap * phase_val[:, None, :]
+            + 2.0 * jnp.sum(env_jac3 * phase_jac3[:, :, None, :], axis=0)
+            + env_val * phase_lap[:, None, :]
         )
-        orb = fl.mul(orb, phase_b, axis_name=deriv_axis)
+        orb = fl.mul_row(
+            orb,
+            jnp.swapaxes(ep_val, 0, 1),          # (ndet, spin, norb)
+            jnp.swapaxes(ep_jac3, 1, 2),         # (3, ndet, spin, norb)
+            jnp.swapaxes(ep_lap, 0, 1),
+            n_total=n, offset=s, axis_name=deriv_axis,
+        )
         channel_jets.append(orb)
 
     if cfg.full_det:

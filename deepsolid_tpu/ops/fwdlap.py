@@ -318,6 +318,60 @@ def mul(a: Jet, b: Jet, axis_name=None) -> Jet:
     )
 
 
+def mul_row(a: Jet, b_val, b_jac3, b_lap, n_total: int, offset: int,
+            axis_name=None) -> Jet:
+    """Product jet of a dense-tangent jet with a ROW-LOCAL factor.
+
+    `a.val` has shape (D, rows, F) (rows = electrons of one spin channel
+    at global offset `offset`); `b` is a function of r_{offset+i} ONLY
+    for row i: b_val/b_lap are (D, rows, F) and b_jac3 is
+    (3, D, rows, F) holding db/dr_row. The dense equivalent —
+    fl.mul(a, Jet(b_val, dense_from_electron_rows(...), b_lap)) —
+    materializes a (3*n_total, D, rows, F) jac that is zero outside
+    3 tangent rows per electron and streams it through two full product
+    passes. Here the big (T, D, rows, F) jac crosses HBM once (the
+    elementwise scale), and the sparse correction is a 3*rows-row
+    scatter-add plus an equally thin gather for the Laplacian cross
+    term. With `axis_name`, a.jac holds this device's tangent slice;
+    out-of-slice rows are masked and the cross term is psummed."""
+    d_dim, rows, f_dim = a.val.shape
+    i_idx = jnp.repeat(jnp.arange(rows), 3)                 # (3*rows,)
+    t_idx = 3 * (offset + i_idx) + jnp.tile(jnp.arange(3), rows)
+    t_loc = a.jac.shape[0]
+    if axis_name is not None:
+        t_idx = t_idx - jax.lax.axis_index(axis_name) * t_loc
+        valid = (t_idx >= 0) & (t_idx < t_loc)
+        t_idx = jnp.clip(t_idx, 0, t_loc - 1)
+        vmask = valid[:, None, None].astype(a.val.real.dtype)
+    else:
+        vmask = None
+
+    # b_jac3 (3, D, rows, F) -> (3*rows, D, F), flat index k = 3*i + c
+    bj = jnp.moveaxis(b_jac3, 0, -2)                         # (D, rows, 3, F)
+    bj = jnp.moveaxis(bj.reshape(d_dim, 3 * rows, f_dim), 1, 0)
+    av = jnp.moveaxis(jnp.take(a.val, i_idx, axis=-2), 1, 0)  # (3*rows, D, F)
+
+    upd = av * bj
+    if vmask is not None:
+        upd = upd * vmask
+    jac = (a.jac * b_val[None]).at[t_idx, :, i_idx].add(upd)
+
+    g = a.jac[t_idx, :, i_idx]                               # (3*rows, D, F)
+    if vmask is not None:
+        g = g * vmask
+    cross = jnp.moveaxis(
+        (g * bj).reshape(rows, 3, d_dim, f_dim).sum(axis=1), 0, 1
+    )                                                        # (D, rows, F)
+    if axis_name is not None:
+        cross = jax.lax.psum(cross, axis_name)
+
+    return Jet(
+        a.val * b_val,
+        jac,
+        a.lap * b_val + a.val * b_lap + 2.0 * cross,
+    )
+
+
 def mul_const(a: Jet, c) -> Jet:
     # trailing-dim broadcasting aligns c with both val (S) and jac ((T,)+S)
     return Jet(a.val * c, a.jac * c, a.lap * c)
