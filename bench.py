@@ -129,6 +129,9 @@ def flops_per_walker(mode, chunk=32):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    # pin the count to f32 storage: bf16 jac stores only add cast ops;
+    # the algorithmic FLOPs are the f32 ones either way
+    env["DEEPSOLID_TPU_JET_STORE"] = "f32"
     # deliberately pin the FLOP count to the reference-LU algorithm: the
     # GJ kernel materializes the full inverse (more raw FLOPs), so
     # counting LU-path FLOPs makes tflops_per_sec/mfu an ALGORITHMIC
@@ -170,6 +173,12 @@ def main():
     )
     fwdlap.set_tangent_precision(None if tangent_tier == "highest"
                                  else tangent_tier)
+    # trunk-jac storage dtype: follow the production config default
+    # ('auto' = env DEEPSOLID_TPU_JET_STORE, so A/B overrides just work)
+    fwdlap.set_jet_storage(
+        config_lib.default().get("jet_storage", None) or None
+    )
+    jet_store = "bf16" if fwdlap._jet_store_dtype() is not None else "f32"
     # Measure BOTH engines back-to-back in the same window at the SAME
     # production batch (iso-batch, VERDICT r1 #7). The shared pool's
     # throughput fluctuates on a minutes timescale, so the ratio is
@@ -245,7 +254,8 @@ def main():
                           "(C-diamond 2x2x2, 96e, full-size net, "
                           f"production batch {batch} w/ "
                           f"el_chunk={fwd_chunk}, full-f32 matmuls, "
-                          f"tangent tier '{tangent_tier}'; "
+                          f"tangent tier '{tangent_tier}', "
+                          f"jet storage '{jet_store}'; "
                           "median of 3 same-window iso-batch ratios over "
                           "the reference-style partition engine)",
                 "value": round(evals_per_sec, 3),

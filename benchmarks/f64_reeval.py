@@ -31,6 +31,11 @@ def build_cfg(system):
 
         cfg = rock_salt.get_config("Li,H,4.02,2,sto-3g")
         cfg.pretrain.scf = "hf"
+    elif system == "diamond":
+        from deepsolid_tpu.configs import diamond
+
+        cfg = diamond.get_config("C,C,3.567,2,sto-3g")
+        cfg.pretrain.scf = "hf"
     elif system == "h2":
         from deepsolid_tpu import config as config_lib
         from deepsolid_tpu.system import Atom, Cell, make_supercell
@@ -50,13 +55,17 @@ def build_cfg(system):
     return cfg
 
 
-def evaluate(ckpt_dir, system, n_walkers, x64):
+def evaluate(ckpt_dir, system, n_walkers, x64, jet_store=None):
     import jax
 
     if x64:
         jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
+
+    from deepsolid_tpu.ops import fwdlap
+
+    fwdlap.set_jet_storage(jet_store)
 
     from deepsolid_tpu.hamiltonian import make_local_energy
     from deepsolid_tpu.train import pretrain as pretrain_lib
@@ -96,8 +105,12 @@ def main():
         print(f"child (f64 cpu): step {t}, {len(e_l)} walkers")
         return
 
-    t, e_f32 = evaluate(ckpt_dir, system, n_walkers, x64=False)
+    t, e_f32 = evaluate(ckpt_dir, system, n_walkers, x64=False,
+                        jet_store="f32")
     print(f"f32 (default backend): step {t}, {len(e_f32)} walkers")
+    _, e_bf16 = evaluate(ckpt_dir, system, n_walkers, x64=False,
+                         jet_store="bf16")
+    print(f"bf16 jet storage (default backend): {len(e_bf16)} walkers")
 
     env = dict(os.environ)
     env["_F64_REEVAL_CHILD"] = "1"
@@ -112,6 +125,7 @@ def main():
     e_f64 = np.load("/tmp/f64_reeval_child.npy")
 
     err = (e_f32.real - e_f64.real)
+    err_bf = (e_bf16.real - e_f64.real)
     scale = 1  # energies already per simulation cell; report raw Ha
     out = {
         "system": system,
@@ -122,6 +136,18 @@ def main():
         "batch_mean_err_Ha": float(err.mean()) * scale,
         "batch_mean_err_stderr_Ha": float(err.std() / np.sqrt(len(err))),
         "e_f64_mean_Ha": float(e_f64.real.mean()),
+        # bf16 trunk-jac storage arm (cfg.jet_storage='bf16'): same
+        # walkers, same f64 anchor — the DELTA vs the f32 arm is the
+        # storage-rounding bias the 1e-4 Ha/atom budget constrains
+        "bf16_batch_mean_err_Ha": float(err_bf.mean()) * scale,
+        "bf16_batch_mean_err_stderr_Ha": float(
+            err_bf.std() / np.sqrt(len(err_bf))
+        ),
+        "bf16_per_walker_abs_err_mean_Ha": float(np.abs(err_bf).mean()),
+        "bf16_minus_f32_mean_Ha": float((e_bf16.real - e_f32.real).mean()),
+        "bf16_minus_f32_stderr_Ha": float(
+            (e_bf16.real - e_f32.real).std() / np.sqrt(len(err))
+        ),
     }
     print(json.dumps(out, indent=1))
 

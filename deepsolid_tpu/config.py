@@ -38,6 +38,17 @@ def default() -> ml_collections.ConfigDict:
             # doubles MXU throughput on those blocks; validate per system
             # with benchmarks/f64_reeval.py before dropping from 'highest'.
             "tangent_matmul_precision": "highest",
+            # Storage dtype for the dense (3N, n, 256) trunk tangent
+            # stream between forward-Laplacian layers — the largest
+            # tensors of the E_L pass, which is HBM-bandwidth-bound
+            # (the compute-tier A/B above measured 1.017x: a dead
+            # lever). 'bf16' halves that stream; ALL arithmetic stays
+            # f32 (kernels upcast on read; value/Laplacian paths and
+            # tangent-square reductions are f32), so rounding enters
+            # only at the once-per-layer store. 'auto' follows env
+            # DEEPSOLID_TPU_JET_STORE (default f32). Validate per
+            # system with benchmarks/f64_reeval.py before flipping.
+            "jet_storage": "auto",  # 'auto' | 'f32' | 'bf16'
             "optim": {
                 "iterations": 1000000,
                 "optimizer": "kfac",  # 'kfac' | 'adam' | 'none'

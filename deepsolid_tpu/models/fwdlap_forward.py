@@ -80,12 +80,12 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig,
     ae_lap = jnp.concatenate([lap_sd[..., None], lap_rl], axis=-1)
     h_one = fl.Jet(
         val=ae_val.reshape(n, natom * (rel + 1)),
-        jac=_slice_tangents(
+        jac=fl.store_jac(_slice_tangents(
             fl.dense_from_electron_rows(
                 ae_jac.reshape(3, n, natom * (rel + 1))
             ),
             deriv_axis,
-        ),
+        )),
         lap=ae_lap.reshape(n, natom * (rel + 1)),
     )
 
@@ -123,18 +123,19 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig,
     def symmetric_split(h1: fl.Jet, h2: fl.Jet):
         rc_parts = []
         for (s, e) in ranges:
-            rc_parts.append(
-                fl.mean_axis(fl.slice_axis(h1, 0, s, e), axis=0,
-                             keepdims=True)
-            )
+            h1s = fl.slice_axis(h1, 0, s, e)
+            # channel means accumulate in f32 even when the trunk jac is
+            # stored bf16: the (T, 1, f) row-constant block is tiny
+            h1s = fl.Jet(h1s.val, h1s.jac.astype(h1s.val.dtype), h1s.lap)
+            rc_parts.append(fl.mean_axis(h1s, axis=0, keepdims=True))
         rv_parts = [h1]
         for (s, e) in ranges:
             rv_parts.append(
                 fl.Jet(
                     val=jnp.mean(h2.val[s:e], axis=0),
-                    jac=_slice_tangents(
+                    jac=fl.store_jac(_slice_tangents(
                         fl.dense_row_mean_from_pairs(h2.jac, s, e), deriv_axis
-                    ),
+                    )),
                     lap=jnp.mean(h2.lap[s:e], axis=0),
                 )
             )
@@ -146,11 +147,14 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig,
         w_rc = w[f1:f1 * (1 + nch)]
         return w_rv, w_rc
 
-    sqrt2 = jnp.sqrt(jnp.asarray(2.0, dtype))
+    # python-float scale keeps weak typing: a bf16-stored jac stays bf16
+    # through the residual while val/lap stay f32 (an f32 array scalar
+    # would silently upcast the jac stream back to f32)
+    inv_sqrt2 = float(2.0 ** -0.5)
 
     def residual(old: fl.Jet, new: fl.Jet) -> fl.Jet:
         if old.val.shape == new.val.shape:
-            return fl.scale(fl.add(old, new), 1.0 / sqrt2)
+            return fl.scale(fl.add(old, new), inv_sqrt2)
         return new
 
     n_double = len(params["double"])

@@ -33,6 +33,50 @@ import jax.numpy as jnp
 
 _TANGENT_PRECISION = None  # None = inherit jax_default_matmul_precision
 
+_JET_STORAGE = None  # None = resolve from env (default f32); 'f32'|'bf16'
+
+
+def set_jet_storage(d):
+    """Storage dtype for the DENSE trunk tangent stream between layers.
+
+    The (T=3N, n, 256) one-stream jacs are the largest tensors of the
+    forward-Laplacian pass and the trunk is HBM-bandwidth-bound (round-4
+    tangent-precision A/B: compute tier is a dead lever at 1.017x).
+    'bf16' stores the jac between layers in bfloat16 — halving the
+    dominant HBM stream — while ALL arithmetic stays f32: kernels upcast
+    on read, the value/Laplacian paths and the tangent-square reductions
+    are f32 throughout, so rounding enters only at the once-per-layer
+    store. `d`: None/'auto' (env DEEPSOLID_TPU_JET_STORE, default f32),
+    'f32', or 'bf16'."""
+    global _JET_STORAGE
+    if d in (None, "auto", ""):
+        _JET_STORAGE = None
+    elif d in ("f32", "float32"):
+        _JET_STORAGE = "f32"
+    elif d in ("bf16", "bfloat16"):
+        _JET_STORAGE = "bf16"
+    else:
+        raise ValueError(f"jet_storage must be f32|bf16|auto, got {d!r}")
+
+
+def _jet_store_dtype():
+    """The dense-jac storage dtype, or None for full f32."""
+    mode = _JET_STORAGE
+    if mode is None:
+        import os
+
+        mode = os.environ.get("DEEPSOLID_TPU_JET_STORE", "")
+    return jnp.bfloat16 if mode in ("bf16", "bfloat16") else None
+
+
+def store_jac(jac):
+    """Cast a dense trunk jac to the configured storage dtype (no-op for
+    f32 storage or non-float32 inputs — f64 runs stay exact)."""
+    dt = _jet_store_dtype()
+    if dt is None or jac.dtype != jnp.float32:
+        return jac
+    return jac.astype(dt)
+
 
 def set_tangent_precision(p):
     """Matmul precision for the TANGENT-axis contractions only.
@@ -208,7 +252,11 @@ def dense_tanh(a: Jet, w, b, axis_name=None) -> Jet:
     emits its local tangent-square partial sum and the cross-device
     reduction rides one psum over the 'deriv' mesh axis."""
     if b is None or not _use_fused(a, w):
-        return tanh(dense(a, w, b), axis_name)
+        out = tanh(dense(a, w, b), axis_name)
+        # round-trip the storage dtype exactly like the kernel path: the
+        # dense matmul upcasts a bf16-stored jac to f32, compute is f32,
+        # and only the layer OUTPUT store rounds
+        return Jet(out.val, out.jac.astype(a.jac.dtype), out.lap)
     from deepsolid_tpu.ops.pallas.jet_kernels import (
         fused_dense_tanh_jet,
         fused_dense_tanh_jet_partial,
@@ -264,7 +312,8 @@ def dense_tanh_mix(a_rv: Jet, a_rc: Jet, w_rv, w_rc, b, axis_name=None) -> Jet:
     a_rc) with w rows stacked [w_rv; w_rc], without ever materializing
     the tiled row-constant block."""
     if b is None or not _use_fused(a_rv, w_rv):
-        return tanh(dense_mix(a_rv, a_rc, w_rv, w_rc, b), axis_name)
+        out = tanh(dense_mix(a_rv, a_rc, w_rv, w_rc, b), axis_name)
+        return Jet(out.val, out.jac.astype(a_rv.jac.dtype), out.lap)
     from deepsolid_tpu.ops.pallas.jet_kernels import (
         fused_dense_tanh_jet_mix,
         fused_dense_tanh_jet_mix_partial,

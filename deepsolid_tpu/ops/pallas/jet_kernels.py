@@ -91,7 +91,7 @@ def _kernel(val_ref, lap_ref, jac_ref, w_ref, b_ref,
     # tangent block may ride a cheaper precision tier than the value
     # pass (ops/fwdlap.set_tangent_precision)
     yj = jax.lax.dot_general(
-        jac_ref[:], w,
+        jac_ref[:].astype(jnp.float32), w,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jac_precision,
@@ -133,7 +133,7 @@ def _kernel_partial(val_ref, lap_ref, jac_ref, w_ref, b_ref,
     d = 1.0 - t * t
 
     yj = jax.lax.dot_general(
-        jac_ref[:], w,
+        jac_ref[:].astype(jnp.float32), w,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jac_precision,
@@ -227,7 +227,7 @@ def fused_dense_tanh_jet_partial(
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, c_pad), val.dtype),
             jax.ShapeDtypeStruct((n_pad, c_pad), val.dtype),
-            jax.ShapeDtypeStruct((t_pad, n_pad, c_pad), val.dtype),
+            jax.ShapeDtypeStruct((t_pad, n_pad, c_pad), jac.dtype),
             jax.ShapeDtypeStruct((n_pad, c_pad), val.dtype),
         ],
         scratch_shapes=[
@@ -316,7 +316,7 @@ def fused_dense_tanh_jet(
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, c_pad), val.dtype),
             jax.ShapeDtypeStruct((n_pad, c_pad), val.dtype),
-            jax.ShapeDtypeStruct((t_pad, n_pad, c_pad), val.dtype),
+            jax.ShapeDtypeStruct((t_pad, n_pad, c_pad), jac.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((bn, bc), jnp.float32),
@@ -378,7 +378,7 @@ def _kernel_mix(val_ref, lap_ref, jac_ref, w_ref, b_ref, zbc_ref, lbc_ref,
     d = 1.0 - t * t
 
     yj = jax.lax.dot_general(
-        jac_ref[:], w,
+        jac_ref[:].astype(jnp.float32), w,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jac_precision,
@@ -419,7 +419,7 @@ def _kernel_mix_partial(val_ref, lap_ref, jac_ref, w_ref, b_ref, zbc_ref,
     d = 1.0 - t * t
 
     yj = jax.lax.dot_general(
-        jac_ref[:], w,
+        jac_ref[:].astype(jnp.float32), w,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jac_precision,
@@ -501,7 +501,7 @@ def _fused_mix_call(kernel, n_outs, val, jac, lap, zbc, lbc, jbc, w, b,
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, c_pad), val.dtype),
             jax.ShapeDtypeStruct((n_pad, c_pad), val.dtype),
-            jax.ShapeDtypeStruct((t_pad, n_pad, c_pad), val.dtype),
+            jax.ShapeDtypeStruct((t_pad, n_pad, c_pad), jac.dtype),
         ] + [jax.ShapeDtypeStruct((n_pad, c_pad), val.dtype)] * (n_outs - 3),
         scratch_shapes=[
             pltpu.VMEM((bn, bc), jnp.float32),

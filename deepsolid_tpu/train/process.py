@@ -97,6 +97,7 @@ def process(cfg, max_iterations: Optional[int] = None):
     fwdlap.set_tangent_precision(
         cfg.get("tangent_matmul_precision", None) or None
     )
+    fwdlap.set_jet_storage(cfg.get("jet_storage", None) or None)
     fused = cfg.debug.get("fused_kernels", "")
     if fused:
         fwdlap.set_fused_kernels(fused == "on")

@@ -165,3 +165,33 @@ def test_slogdet_jet_complex_against_autodiff(gauss_split, request):
     lap = jnp.trace(hess, axis1=-2, axis2=-1)
     np.testing.assert_allclose(np.asarray(out.lap), np.asarray(lap),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_jet_storage_bf16_kinetic(request):
+    """bf16 trunk-jac storage (cfg.jet_storage='bf16'): the kinetic energy
+    of an f32 network stays within ~1% of the full-f32 evaluation (storage
+    rounding is ~0.4% relative noise injected once per layer; all compute
+    stays f32), and f64 evaluations are BIT-EXACT regardless of the
+    setting (store_jac no-ops on non-f32 inputs, so precision anchors and
+    CPU-f64 re-evals are never degraded)."""
+    sc = lih_supercell()
+    net, params, x = build(sc)
+    kin = make_kinetic_forward(net)
+    f64_ref = complex(kin(params, x))
+
+    p32 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float32)
+        if hasattr(a, "dtype") and a.dtype == jnp.float64 else a,
+        params,
+    )
+    x32 = x.astype(jnp.float32)
+    f32_val = complex(kin(p32, x32))
+
+    fl.set_jet_storage("bf16")
+    request.addfinalizer(lambda: fl.set_jet_storage(None))
+    bf16_val = complex(kin(p32, x32))
+    assert abs(bf16_val - f32_val) <= 0.01 * abs(f32_val) + 5e-3, (
+        f"bf16 storage kinetic {bf16_val} vs f32 {f32_val}"
+    )
+    # f64 path unchanged under the bf16 setting
+    assert complex(kin(params, x)) == f64_ref

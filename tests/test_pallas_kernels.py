@@ -181,3 +181,38 @@ def test_fused_dense_tanh_jet_interpret_auto_bn(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(wnt), rtol=2e-5, atol=2e-5, err_msg=name
         )
+
+
+def test_fused_dense_tanh_jet_bf16_storage(monkeypatch):
+    """bf16-stored tangent stream: the kernel upcasts the jac read to f32,
+    computes everything (incl. the tangent-square accumulator) in f32, and
+    rounds only the jac OUTPUT store — so val/lap match the f32 reference
+    tightly while jac matches to bf16 storage precision."""
+    from deepsolid_tpu.ops.pallas import jet_kernels
+
+    orig = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(jet_kernels.pl, "pallas_call", interp_call)
+
+    val, jac, lap, w, b = make_case(12, 10, 20, 12)
+    jac_bf16 = jac.astype(jnp.bfloat16)
+    got = jet_kernels.fused_dense_tanh_jet(val, jac_bf16, lap, w, b,
+                                           block_n=8, block_c=128, block_t=4)
+    assert got[1].dtype == jnp.bfloat16
+    want = jet_kernels.dense_tanh_jet_reference(
+        val, jac_bf16.astype(jnp.float32), lap, w, b
+    )
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=2e-5, atol=2e-5, err_msg="val")
+    np.testing.assert_allclose(
+        np.asarray(got[1].astype(jnp.float32)), np.asarray(want[1]),
+        rtol=0, atol=float(jnp.finfo(jnp.bfloat16).eps) * 8, err_msg="jac",
+    )
+    # lap's tangent-square accumulation runs in f32 OFF THE UPCAST READ —
+    # no bf16 squaring anywhere, so lap matches the f32-of-bf16 reference
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(want[2]),
+                               rtol=2e-5, atol=2e-5, err_msg="lap")
