@@ -378,21 +378,28 @@ def mul_row(a: Jet, b_val, b_jac3, b_lap, n_total: int, offset: int,
     fl.mul(a, Jet(b_val, dense_from_electron_rows(...), b_lap)) —
     materializes a (3*n_total, D, rows, F) jac that is zero outside
     3 tangent rows per electron and streams it through two full product
-    passes. Here the big (T, D, rows, F) jac crosses HBM once (the
-    elementwise scale), and the sparse correction is a 3*rows-row
-    scatter-add plus an equally thin gather for the Laplacian cross
-    term. With `axis_name`, a.jac holds this device's tangent slice;
+    passes. Here the big (T, D, rows, F) jac crosses HBM once: the
+    correction lands on a contiguous tangent slab, diagonal in
+    (tangent row, electron row), so it is applied through a 0/1 slab
+    mask and a zero-padded (T, D, F) update — the whole jac is ONE
+    fusable elementwise expression. (A scatter-add formulation forced
+    XLA to materialize the scaled jac plus scatter copies: observed
+    4x 2.53G HLO temps / OOM on the 96e diamond at el_chunk=64.)
+    The Laplacian cross term stays a thin slab-diagonal gather.
+    With `axis_name`, a.jac holds this device's tangent slice;
     out-of-slice rows are masked and the cross term is psummed."""
     d_dim, rows, f_dim = a.val.shape
     i_idx = jnp.repeat(jnp.arange(rows), 3)                 # (3*rows,)
     t_idx = 3 * (offset + i_idx) + jnp.tile(jnp.arange(3), rows)
     t_loc = a.jac.shape[0]
     if axis_name is not None:
-        t_idx = t_idx - jax.lax.axis_index(axis_name) * t_loc
+        shard0 = jax.lax.axis_index(axis_name) * t_loc
+        t_idx = t_idx - shard0
         valid = (t_idx >= 0) & (t_idx < t_loc)
         t_idx = jnp.clip(t_idx, 0, t_loc - 1)
         vmask = valid[:, None, None].astype(a.val.real.dtype)
     else:
+        shard0 = None
         vmask = None
 
     # b_jac3 (3, D, rows, F) -> (3*rows, D, F), flat index k = 3*i + c
@@ -400,10 +407,20 @@ def mul_row(a: Jet, b_val, b_jac3, b_lap, n_total: int, offset: int,
     bj = jnp.moveaxis(bj.reshape(d_dim, 3 * rows, f_dim), 1, 0)
     av = jnp.moveaxis(jnp.take(a.val, i_idx, axis=-2), 1, 0)  # (3*rows, D, F)
 
-    upd = av * bj
-    if vmask is not None:
-        upd = upd * vmask
-    jac = (a.jac * b_val[None]).at[t_idx, :, i_idx].add(upd)
+    # zero-pad the slab update to the full (global) tangent axis and
+    # build the slab-diagonal 0/1 selector; in the sharded case slice
+    # both down to this device's tangent window (3*n_total is split
+    # exactly across the axis — _slice_tangents contract, no padding)
+    t_glob = 3 * n_total
+    u_pad = jnp.pad(av * bj, ((3 * offset, t_glob - 3 * (offset + rows)),
+                              (0, 0), (0, 0)))               # (T_glob, D, F)
+    sel = ((jnp.arange(t_glob) // 3)[:, None]
+           == (offset + jnp.arange(rows))[None])
+    sel = sel.astype(a.val.real.dtype)                       # (T_glob, rows)
+    if shard0 is not None:
+        u_pad = jax.lax.dynamic_slice_in_dim(u_pad, shard0, t_loc, axis=0)
+        sel = jax.lax.dynamic_slice_in_dim(sel, shard0, t_loc, axis=0)
+    jac = a.jac * b_val[None] + sel[:, None, :, None] * u_pad[:, :, None, :]
 
     g = a.jac[t_idx, :, i_idx]                               # (3*rows, D, F)
     if vmask is not None:

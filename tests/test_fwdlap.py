@@ -59,6 +59,50 @@ def test_jet_algebra_basics():
     np.testing.assert_allclose(np.asarray(out.lap), np.asarray(lap), rtol=1e-9)
 
 
+def test_mul_row_matches_dense_mul():
+    # mul_row (row-local factor, scatter-free slab-mask form) against
+    # fl.mul with the factor's jac embedded densely, global + sharded
+    rng = np.random.default_rng(0)
+    n_total, d_dim, rows, f_dim, off = 7, 2, 3, 4, 2
+    t_glob = 3 * n_total
+
+    def c(*s):
+        return jnp.asarray(rng.normal(size=s) + 1j * rng.normal(size=s))
+
+    a = fl.Jet(c(d_dim, rows, f_dim), c(t_glob, d_dim, rows, f_dim),
+               c(d_dim, rows, f_dim))
+    b_val, b_lap = c(d_dim, rows, f_dim), c(d_dim, rows, f_dim)
+    b_jac3 = c(3, d_dim, rows, f_dim)
+
+    bj_dense = jnp.zeros((t_glob, d_dim, rows, f_dim), complex)
+    for i in range(rows):
+        for cc in range(3):
+            bj_dense = bj_dense.at[3 * (off + i) + cc, :, i, :].set(
+                b_jac3[cc, :, i, :])
+    ref = fl.mul(a, fl.Jet(b_val, bj_dense, b_lap))
+    got = fl.mul_row(a, b_val, b_jac3, b_lap, n_total=n_total, offset=off)
+    for name in ("val", "jac", "lap"):
+        np.testing.assert_allclose(np.asarray(getattr(got, name)),
+                                   np.asarray(getattr(ref, name)), rtol=1e-12)
+
+    # sharded tangents: 3 devices x 7 tangent rows
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:3]), ("t",))
+    spec = jax.sharding.PartitionSpec
+
+    def local(ajac):
+        out = fl.mul_row(fl.Jet(a.val, ajac, a.lap), b_val, b_jac3, b_lap,
+                         n_total=n_total, offset=off, axis_name="t")
+        return out.jac, out.lap
+
+    jac_sh, lap_sh = jax.shard_map(
+        local, mesh=mesh, in_specs=spec("t"), out_specs=(spec("t"), spec())
+    )(a.jac)
+    np.testing.assert_allclose(np.asarray(jac_sh), np.asarray(got.jac),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(lap_sh), np.asarray(got.lap),
+                               rtol=1e-12)
+
+
 @pytest.mark.parametrize("full_det", [False, True])
 def test_value_matches_network(full_det):
     sc = lih_supercell()
