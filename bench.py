@@ -61,15 +61,13 @@ def build(S=2, batch=1024, mode="forward", partition_number=None,
     )
     vm = jax.vmap(el, in_axes=(None, 0))
 
-    def chunked(p, d):
-        """el_chunk semantics (train/loss.py): scan over walker chunks so
-        the (chunk, 3N, ...) jet workspace stays resident in HBM."""
-        n = d.shape[0]
-        if el_chunk and n > el_chunk and n % el_chunk == 0:
-            chunks = d.reshape(n // el_chunk, el_chunk, d.shape[-1])
-            ke, ew = jax.lax.map(lambda c: vm(p, c), chunks)
-            return ke.reshape(n), ew.reshape(n)
-        return vm(p, d)
+    # production el_chunk semantics (train/loss.chunk_batch_fn): remat'd
+    # lax.map over walker chunks — the same memory plan the training step
+    # uses (a raw un-remat'd map peaks higher since the row-local det-head
+    # product landed, and OOM'd el_chunk=64 where training fits it)
+    from deepsolid_tpu.train.loss import chunk_batch_fn
+
+    chunked = chunk_batch_fn(vm, el_chunk if el_chunk else 0, what="el")
 
     # fetch real/imag separately: complex host transfers are unimplemented
     # on the axon TPU backend

@@ -91,7 +91,10 @@ def evaluate(ckpt_dir, system, n_walkers, x64, jet_store=None):
     )
     vm = jax.jit(jax.vmap(el, in_axes=(None, 0)))
     ke, ew = vm(params, data)
-    e_l = np.asarray(ke).astype(complex) + np.asarray(ew)
+    # fetch re/im separately: complex host transfers are unimplemented on
+    # the axon TPU backend
+    e_l = (np.asarray(jnp.real(ke)) + 1j * np.asarray(jnp.imag(ke))
+           + np.asarray(ew))
     return t, e_l
 
 

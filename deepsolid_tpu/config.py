@@ -45,9 +45,14 @@ def default() -> ml_collections.ConfigDict:
             # lever). 'bf16' halves that stream; ALL arithmetic stays
             # f32 (kernels upcast on read; value/Laplacian paths and
             # tangent-square reductions are f32), so rounding enters
-            # only at the once-per-layer store. 'auto' follows env
-            # DEEPSOLID_TPU_JET_STORE (default f32). Validate per
-            # system with benchmarks/f64_reeval.py before flipping.
+            # only at the once-per-layer store. MEASURED on the trained
+            # C-diamond 2x2x2 state (round 4): 1.09x kinetic-only
+            # throughput but a +11.4 mHa/atom E_L bias vs the f64
+            # re-eval (f32 storage itself is clean, -1.0+-2.4 mHa/cell)
+            # — 100x over the 1e-4 Ha/atom budget, so bf16 is NOT the
+            # default anywhere. 'auto' follows env
+            # DEEPSOLID_TPU_JET_STORE (default f32). Only flip after
+            # benchmarks/f64_reeval.py passes on YOUR trained state.
             "jet_storage": "auto",  # 'auto' | 'f32' | 'bf16'
             "optim": {
                 "iterations": 1000000,
