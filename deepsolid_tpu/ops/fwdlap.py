@@ -570,14 +570,27 @@ def _use_det_kernel(a) -> bool | str:
     # runs — CPU re-evals, precision anchors — keep the LAPACK path)
     if a.dtype != jnp.complex64:
         return False
-    if _DET_KERNEL is not None:
-        return _DET_KERNEL
-    import os
+    forced = _DET_KERNEL
+    if forced is None:
+        import os
 
-    env = os.environ.get("DEEPSOLID_TPU_DET_KERNEL", "")
-    if env:
-        return env == "on"
-    return _on_tpu()
+        env = os.environ.get("DEEPSOLID_TPU_DET_KERNEL", "")
+        forced = (env == "on") if env else _on_tpu()
+    if forced == "interpret":
+        return forced
+    if forced:
+        # Mosaic requires the lane block to be a full 128 lanes (the
+        # batch axis is the minormost block dim); once the ~8 live
+        # (n_pad, n_pad, 128) f32 planes outgrow the ~16 MB VMEM the
+        # kernel cannot lower AT ALL (caught by the bcc-Li 162e AOT
+        # probe: n_pad=88 -> 31.7 MB). Fall back to the LU path there —
+        # even when forced on — mirroring det_kernels._lane_block.
+        from deepsolid_tpu.ops.pallas.det_kernels import _lane_block, _round_up
+
+        n_pad = _round_up(max(int(a.shape[-1]), 8), 8)
+        if _lane_block(n_pad) < 128:
+            return False
+    return forced
 
 
 def slogdet_jet(mat: Jet, axis_name=None) -> Tuple[jnp.ndarray, Jet]:

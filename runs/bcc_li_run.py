@@ -22,6 +22,9 @@ cfg.optim.optimizer = "kfac"
 cfg.optim.laplacian_mode = "forward"
 cfg.optim.iterations = 200000
 cfg.optim.el_chunk = 16
+# the psi-side vjp/curvature sweeps at full batch materialize 4x
+# (1024,162,162,32)=3.2G h2 activations (AOT probe): chunk them too
+cfg.optim.psi_chunk = 256
 cfg.mcmc.burn_in = 100
 cfg.mcmc.steps = 20
 cfg.pretrain.method = "net"

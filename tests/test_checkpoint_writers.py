@@ -53,11 +53,14 @@ def test_checkpoint_elastic_restore_device_count():
         )
         np.testing.assert_allclose(np.asarray(resharded), np.asarray(data))
 
-        # elastic batch resize: growing tiles the walker axis (duplicates
-        # decorrelate over subsequent MCMC sweeps), shrinking truncates
+        # elastic batch resize: growing tiles the walker axis with JITTERED
+        # copies (no exactly-duplicated walkers, sigma=0.3*mcmc_width here),
+        # shrinking truncates
         t, grown, *_ = ckpt_lib.restore(path, 32)
         assert grown.shape == (32, 6)
-        np.testing.assert_allclose(grown[16:], grown[:16])
+        dev = np.abs(np.asarray(grown[16:]) - np.asarray(grown[:16]))
+        assert dev.max() > 0.0, "tiled copies must be jittered, not exact"
+        assert dev.max() < 0.1, "jitter should stay at proposal-width scale"
         t, shrunk, *_ = ckpt_lib.restore(path, 8)
         assert shrunk.shape == (8, 6)
         np.testing.assert_allclose(shrunk, np.asarray(data)[:8])
