@@ -112,7 +112,14 @@ def test_value_matches_network(full_det):
     np.testing.assert_allclose(complex(jet.val), complex(want), rtol=1e-9)
 
 
-@pytest.mark.parametrize("distance_type", ["nu", "tri"])
+@pytest.mark.parametrize(
+    "distance_type",
+    # 'nu' is the production distance type and stays the default-suite
+    # hessian oracle; the 'tri' variant re-runs the same heavyweight
+    # oracle (~45 s) and tri's analytic jets are already covered by
+    # test_feature_jets, so it rides the slow lane (suite budget).
+    ["nu", pytest.param("tri", marks=pytest.mark.slow)],
+)
 @pytest.mark.parametrize("full_det", [False, True])
 def test_kinetic_matches_hessian(full_det, distance_type):
     sc = lih_supercell()
@@ -211,6 +218,7 @@ def test_slogdet_jet_complex_against_autodiff(gauss_split, request):
                                rtol=1e-8, atol=1e-10)
 
 
+@pytest.mark.slow  # opt-in knob, gated out of production (config.py)
 def test_jet_storage_bf16_kinetic(request):
     """bf16 trunk-jac storage (cfg.jet_storage='bf16'): the kinetic energy
     of an f32 network stays within ~1% of the full-f32 evaluation (storage

@@ -298,6 +298,7 @@ def test_kfac_e2e_adaptive_damping():
         assert dampings.min() != dampings.max()  # the LM rule engaged
 
 
+@pytest.mark.slow  # ~100 s; the env-block Fisher equality test is default
 def test_kfac_e2e_full_envelope_smoke():
     """The KFAC step runs end-to-end with envelope_type='full' (the
     env Kronecker blocks flow through curvature, inverse, precondition)."""

@@ -76,7 +76,14 @@ def test_kinetic_vs_quadrature(la3, lb3, alpha, beta):
 
 @pytest.mark.parametrize(
     "la3,lb3,alpha,beta,omega",
-    [CASES[0] + (None,), CASES[2] + (0.7,), CASES[3] + (None,)],
+    # the two high-l quadrature oracles cost ~40 s each; one stays
+    # default, the rest ride the slow lane (the nuclear path is also
+    # pinned by every SCF literature-energy test)
+    [
+        pytest.param(*(CASES[0] + (None,)), marks=pytest.mark.slow),
+        pytest.param(*(CASES[2] + (0.7,)), marks=pytest.mark.slow),
+        CASES[3] + (None,),
+    ],
 )
 def test_nuclear_vs_quadrature(la3, lb3, alpha, beta, omega):
     from scipy.special import erf, erfc
