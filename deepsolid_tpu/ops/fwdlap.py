@@ -645,12 +645,25 @@ def slogdet_jet(mat: Jet, axis_name=None) -> Tuple[jnp.ndarray, Jet]:
         b = jax.lax.complex(p1 - p2, p3 - p1 - p2)
     else:
         b = jnp.matmul(a_inv[None], mat.jac, precision=_TANGENT_PRECISION)
-    jac = jnp.trace(b, axis1=-2, axis2=-1)  # (T, ...)
+    # tr(A^-1 J_t) as a FLAT inner product of A^-T with the tangent
+    # stream: a single dot_general contracting both matrix dims (n*n
+    # lanes, no 48->128 pad on a 2304-wide flat axis), instead of
+    # gathering the diagonal of b — and b's only remaining consumer is
+    # lap2, so XLA can output-fuse the square-trace into the matmul
+    # that forms b (the round-4 AOT probe showed the old trace +
+    # b*swapaxes(b) pair forcing 1.7-2.5 GB layout copies of the
+    # (chunk, T, ndet, n, n) stream, /tmp/kin_aot_hlo round-4 notes).
+    jac = jnp.einsum("...ji,t...ij->t...", a_inv, mat.jac,
+                     precision=_TANGENT_PRECISION)
     # tr(A^-1 L) as an inner product with the materialized inverse —
     # saves the n^3 LU solve a trace-of-solve would spend on off-diagonal
     # columns it never reads
     lap1 = jnp.sum(a_inv * jnp.swapaxes(mat.lap, -1, -2), axis=(-1, -2))
-    lap2 = _tsum(jnp.sum(b * jnp.swapaxes(b, -1, -2), axis=(-1, -2)), axis_name)
+    # tr((A^-1 J_t)^2) contracted as one einsum: dot_general reads the
+    # transposed operand with strided access instead of materializing
+    # swapaxes(b) next to b
+    lap2 = _tsum(jnp.einsum("t...ij,t...ji->t...", b, b,
+                            precision=_TANGENT_PRECISION), axis_name)
     return sign, Jet(logdet, jac, lap1 - lap2)
 
 

@@ -21,9 +21,11 @@ cfg.precision = "float32"
 cfg.optim.optimizer = "kfac"
 cfg.optim.laplacian_mode = "forward"
 cfg.optim.iterations = 200000
-cfg.optim.el_chunk = 16
-# the psi-side vjp/curvature sweeps at full batch materialize 4x
-# (1024,162,162,32)=3.2G h2 activations (AOT probe): chunk them too
+# AOT memory probes (runs/bcc_li_memprobe.py, chipless TpuAotCompiler):
+# el16/psi256 plans 20.5G and el16/psi128 16.1G (both over the 15.75G
+# HBM); el8/psi128 AND el8/psi256 both plan 8.44G temp (the psi-side
+# sweeps are not the peak at el8). el_chunk must divide the walker batch.
+cfg.optim.el_chunk = 8
 cfg.optim.psi_chunk = 256
 cfg.mcmc.burn_in = 100
 cfg.mcmc.steps = 20
