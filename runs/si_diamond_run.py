@@ -5,13 +5,16 @@ native orbital source (VERDICT r2 missing #1 done-criterion).
 self-consistent periodic UHF pretraining, then KFAC + forward-Laplacian
 VMC. The reference covers third-row solids only via PySCF (hf.py:26).
 
-Basis note: the et-dz generated basis converges for every free atom
-Z<=20 (tests/test_etdz.py) but this particular Gamma-only solid
-oscillates between two occupation fixed points that even the
-level_shift=1.0 rescue rung does not separate (runs/warm_si4.log;
-the unconverged entry is cached converged=False and correctly refused
-by run_uhf_cached). STO-3G converges in 3 cycles (-570.73483 Ha) and
-the pretrain basis only seeds the ansatz, so the VMC row uses sto-3g.
+Basis note (round 4): the Fermi-smearing anneal ladder in run_uhf
+(scf/hf.py, sigma 0.2 -> 0 with warm restarts) resolves the occupation
+oscillation that blocked this solid through round 3: Si diamond 1x1x1
+et-dz UHF now converges at every rung to E = -577.52647557 Ha
+(runs/warm_si_r4 log; cache runs/scf_cache/uhf_6e799a58*.npz). The
+anneal is the native analog of the PySCF smearing the reference would
+reach through its bridge (reference hf.py:26). Pass "et-dz" below to
+pretrain against it; sto-3g (3 cycles, -570.73483 Ha) remains the
+fast default for the VMC row since the pretrain basis only seeds the
+ansatz.
 """
 import logging
 import sys
