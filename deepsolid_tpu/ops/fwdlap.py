@@ -624,46 +624,66 @@ def slogdet_jet(mat: Jet, axis_name=None) -> Tuple[jnp.ndarray, Jet]:
         # precision.
         n = a.shape[-1]
         a_inv = solve(jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape))
-    # (T, ..., n, n) = A^-1 J_t; tangent-axis batched matmuls — ride the
-    # tangent precision tier (see set_tangent_precision). For complex
-    # dets the product is formed with the 3-multiplication Gauss split
-    # (p1=Re*Re, p2=Im*Im, p3=(Re+Im)(Re+Im)) instead of the 4 real
-    # matmuls of a naive complex lowering — 25% off the biggest det-head
-    # matmul.
+    # Wide-dot restructure (round-4 on-chip op trace): forming A^-1 J_t
+    # as a T-batched matmul over (n, n) tiles made XLA relayout the
+    # (T, ..., n, n) stream around every consumer — seven full-stream
+    # copies, 25% of the whole C-diamond kinetic step. Instead move the
+    # tangent axis next to the column axis ONCE and form every tangent
+    # product as a single wide matmul A^-1 (n, n) @ J (n, T*n): the flat
+    # T*n lane axis tiles the 128-lane MXU exactly (288*48 = 108*128
+    # where n=48 alone pads 2.67x), the dot consumes the moveaxis result
+    # directly, and the trace contractions below read the wide product
+    # in place. Rides the tangent precision tier
+    # (see set_tangent_precision).
+    t_dim = mat.jac.shape[0]
+    n = a.shape[-1]
+    lead = mat.jac.shape[1:-2]
+    j2 = jnp.moveaxis(mat.jac, 0, -2).reshape(lead + (n, t_dim * n))
     if jnp.iscomplexobj(a) and _use_gauss_split():
-        # OFF by default: the (T, ..., n, n) temporaries (jr+ji and the
+        # OFF by default: the (..., n, T*n) temporaries (jr+ji and the
         # three products) raise peak HBM enough to OOM the production
         # C-diamond batch-1024 bench on a 16G chip (round-3 capture log);
         # enable via set_gauss_split(True) / DEEPSOLID_TPU_GAUSS_SPLIT=on
-        # where the det head is compute- rather than memory-bound.
-        ar, ai = a_inv.real[None], a_inv.imag[None]
-        jr, ji = mat.jac.real, mat.jac.imag
+        # where the det head is compute- rather than memory-bound. The
+        # 3-multiplication Gauss split (p1=Re*Re, p2=Im*Im,
+        # p3=(Re+Im)(Re+Im)) saves 25% over the 4 real matmuls of a
+        # naive complex lowering.
+        ar, ai = a_inv.real, a_inv.imag
+        jr, ji = j2.real, j2.imag
         mm = functools.partial(jnp.matmul, precision=_TANGENT_PRECISION)
         p1 = mm(ar, jr)
         p2 = mm(ai, ji)
         p3 = mm(ar + ai, jr + ji)
-        b = jax.lax.complex(p1 - p2, p3 - p1 - p2)
+        b2 = jax.lax.complex(p1 - p2, p3 - p1 - p2)
     else:
-        b = jnp.matmul(a_inv[None], mat.jac, precision=_TANGENT_PRECISION)
-    # tr(A^-1 J_t) as a FLAT inner product of A^-T with the tangent
-    # stream: a single dot_general contracting both matrix dims (n*n
-    # lanes, no 48->128 pad on a 2304-wide flat axis), instead of
-    # gathering the diagonal of b — and b's only remaining consumer is
-    # lap2, so XLA can output-fuse the square-trace into the matmul
-    # that forms b (the round-4 AOT probe showed the old trace +
-    # b*swapaxes(b) pair forcing 1.7-2.5 GB layout copies of the
-    # (chunk, T, ndet, n, n) stream, /tmp/kin_aot_hlo round-4 notes).
-    jac = jnp.einsum("...ji,t...ij->t...", a_inv, mat.jac,
-                     precision=_TANGENT_PRECISION)
+        b2 = jnp.matmul(a_inv, j2, precision=_TANGENT_PRECISION)
+    # The trace contractions stay on the FLAT (n, T*n) layout: any
+    # materialization of the (i, T, k) view pads its 48-lane minor dim
+    # 2.7x (3.38 GiB each at C-diamond el_chunk 64), and einsum /
+    # natural-layout-reduce forms of the same math made XLA materialize
+    # it up to five times. Here the big arrays are only ever (1) the
+    # packed wide product b2 and (2) one packed block-transposed copy of
+    # it; per-tangent resolution is recovered by reducing the ROW axis
+    # first (fused) and reshaping the resulting (T*n,) vector — 55 KB —
+    # instead of the stream.
+    def _per_t(rowsum):  # (..., T*n) -> (T, ...)
+        return jnp.moveaxis(
+            rowsum.reshape(lead + (t_dim, n)).sum(-1), -1, 0)
+
+    # tr(A^-1 J_t): eye-masked diagonal reduce on the flat layout
+    eye = jnp.eye(n, dtype=b2.real.dtype)
+    mask = jnp.tile(eye, (1, t_dim))  # (n, T*n), mask[i, t*n+k] = d_ik
+    jac = _per_t(jnp.sum(b2 * mask, axis=-2))
     # tr(A^-1 L) as an inner product with the materialized inverse —
     # saves the n^3 LU solve a trace-of-solve would spend on off-diagonal
     # columns it never reads
     lap1 = jnp.sum(a_inv * jnp.swapaxes(mat.lap, -1, -2), axis=(-1, -2))
-    # tr((A^-1 J_t)^2) contracted as one einsum: dot_general reads the
-    # transposed operand with strided access instead of materializing
-    # swapaxes(b) next to b
-    lap2 = _tsum(jnp.einsum("t...ij,t...ji->t...", b, b,
-                            precision=_TANGENT_PRECISION), axis_name)
+    # tr((A^-1 J_t)^2): d2[i, (t,k)] = B_t[k,i] — the one unavoidable
+    # block transpose, produced packed-to-packed
+    d2 = jnp.swapaxes(
+        b2.reshape(lead + (n, t_dim, n)), -3, -1
+    ).reshape(lead + (n, t_dim * n))
+    lap2 = _tsum(_per_t(jnp.sum(b2 * d2, axis=-2)), axis_name)
     return sign, Jet(logdet, jac, lap1 - lap2)
 
 
