@@ -565,6 +565,34 @@ def _use_gauss_split() -> bool:
     return os.environ.get("DEEPSOLID_TPU_GAUSS_SPLIT", "") == "on"
 
 
+_DET_JET_KERNEL = None  # None = auto (TPU on); True/False/'interpret'
+
+
+def set_det_jet_kernel(enabled):
+    """Force the fused Pallas det-head jet-trace kernel
+    (ops/pallas/det_jet_kernels.py) on/off. Auto (None) is ON on TPU for
+    complex64 det heads; 'interpret' runs the kernel in Pallas interpret
+    mode (CPU oracle tests). Env DEEPSOLID_TPU_DET_JET_KERNEL=on|off|
+    interpret overrides auto."""
+    global _DET_JET_KERNEL
+    _DET_JET_KERNEL = enabled
+
+
+def _use_det_jet_kernel(a) -> bool | str:
+    # the kernel computes in f32 planes: complex64 only (f64 runs — CPU
+    # re-evals, precision anchors — keep the XLA path)
+    if a.dtype != jnp.complex64:
+        return False
+    if _DET_JET_KERNEL is not None:
+        return _DET_JET_KERNEL
+    import os
+
+    env = os.environ.get("DEEPSOLID_TPU_DET_JET_KERNEL", "")
+    if env:
+        return env if env == "interpret" else (env == "on")
+    return _on_tpu()
+
+
 def _use_det_kernel(a) -> bool | str:
     # the kernel computes in f32 planes: complex64 inputs only (f64
     # runs — CPU re-evals, precision anchors — keep the LAPACK path)
@@ -639,51 +667,94 @@ def slogdet_jet(mat: Jet, axis_name=None) -> Tuple[jnp.ndarray, Jet]:
     n = a.shape[-1]
     lead = mat.jac.shape[1:-2]
     j2 = jnp.moveaxis(mat.jac, 0, -2).reshape(lead + (n, t_dim * n))
-    if jnp.iscomplexobj(a) and _use_gauss_split():
-        # OFF by default: the (..., n, T*n) temporaries (jr+ji and the
-        # three products) raise peak HBM enough to OOM the production
-        # C-diamond batch-1024 bench on a 16G chip (round-3 capture log);
-        # enable via set_gauss_split(True) / DEEPSOLID_TPU_GAUSS_SPLIT=on
-        # where the det head is compute- rather than memory-bound. The
-        # 3-multiplication Gauss split (p1=Re*Re, p2=Im*Im,
-        # p3=(Re+Im)(Re+Im)) saves 25% over the 4 real matmuls of a
-        # naive complex lowering.
-        ar, ai = a_inv.real, a_inv.imag
-        jr, ji = j2.real, j2.imag
-        mm = functools.partial(jnp.matmul, precision=_TANGENT_PRECISION)
-        p1 = mm(ar, jr)
-        p2 = mm(ai, ji)
-        p3 = mm(ar + ai, jr + ji)
-        b2 = jax.lax.complex(p1 - p2, p3 - p1 - p2)
-    else:
-        b2 = jnp.matmul(a_inv, j2, precision=_TANGENT_PRECISION)
-    # The trace contractions stay on the FLAT (n, T*n) layout: any
-    # materialization of the (i, T, k) view pads its 48-lane minor dim
-    # 2.7x (3.38 GiB each at C-diamond el_chunk 64), and einsum /
-    # natural-layout-reduce forms of the same math made XLA materialize
-    # it up to five times. Here the big arrays are only ever (1) the
-    # packed wide product b2 and (2) one packed block-transposed copy of
-    # it; per-tangent resolution is recovered by reducing the ROW axis
-    # first (fused) and reshaping the resulting (T*n,) vector — 55 KB —
-    # instead of the stream.
-    def _per_t(rowsum):  # (..., T*n) -> (T, ...)
-        return jnp.moveaxis(
-            rowsum.reshape(lead + (t_dim, n)).sum(-1), -1, 0)
 
-    # tr(A^-1 J_t): eye-masked diagonal reduce on the flat layout
-    eye = jnp.eye(n, dtype=b2.real.dtype)
-    mask = jnp.tile(eye, (1, t_dim))  # (n, T*n), mask[i, t*n+k] = d_ik
-    jac = _per_t(jnp.sum(b2 * mask, axis=-2))
     # tr(A^-1 L) as an inner product with the materialized inverse —
     # saves the n^3 LU solve a trace-of-solve would spend on off-diagonal
     # columns it never reads
     lap1 = jnp.sum(a_inv * jnp.swapaxes(mat.lap, -1, -2), axis=(-1, -2))
-    # tr((A^-1 J_t)^2): d2[i, (t,k)] = B_t[k,i] — the one unavoidable
-    # block transpose, produced packed-to-packed
-    d2 = jnp.swapaxes(
-        b2.reshape(lead + (n, t_dim, n)), -3, -1
-    ).reshape(lead + (n, t_dim * n))
-    lap2 = _tsum(_per_t(jnp.sum(b2 * d2, axis=-2)), axis_name)
+
+    use_jet_kernel = _use_det_jet_kernel(a)
+    if use_jet_kernel:
+        # Fused Pallas path: B = A^-1 J_t and both trace contractions
+        # stay in VMEM — the stream is read once, packed, and no
+        # (.., n, n)-padded or transposed copy ever reaches HBM
+        # (ops/pallas/det_jet_kernels.py).
+        from deepsolid_tpu.ops.pallas import det_jet_kernels
+
+        nd = 1
+        for s in lead:
+            nd *= s
+        trb, l2 = det_jet_kernels.det_jet_traces(
+            a_inv.reshape((nd, n, n)),
+            j2.reshape((nd, n, t_dim * n)),
+            interpret=(use_jet_kernel == "interpret"),
+        )
+        jac = trb.reshape((t_dim,) + lead)
+        lap2 = l2.reshape(lead)
+        if axis_name is not None:
+            lap2 = jax.lax.psum(lap2, axis_name)
+        return sign, Jet(logdet, jac, lap1 - lap2)
+
+    # The trace contractions stay on the FLAT (n, T*n) layout: any
+    # materialization of the (i, T, k) view pads its 48-lane minor dim
+    # 2.7x (3.38 GiB each at C-diamond el_chunk 64), and einsum /
+    # natural-layout-reduce forms of the same math made XLA materialize
+    # it up to five times. Per-tangent resolution is recovered by
+    # reducing the ROW axis first (a fused multiply+reduce) and
+    # reshaping the resulting (T*n,) vector — 55 KB — instead of the
+    # stream. Complex arithmetic is hand-split into explicit f32
+    # component arrays: XLA's TPU pipeline splits complex into (re, im)
+    # pairs anyway, but complex-typed multiplies between the dot and the
+    # reduces materialized their 1.27 GiB component products instead of
+    # fusing them into the reductions (round-4 op trace).
+    def _per_t(rowsum):  # (..., T*n) -> (T, ...)
+        return jnp.moveaxis(
+            rowsum.reshape(lead + (t_dim, n)).sum(-1), -1, 0)
+
+    def _blk_t(x):  # (..., i, (t,k)) -> (..., k, (t,i)) block transpose
+        return jnp.swapaxes(
+            x.reshape(lead + (n, t_dim, n)), -3, -1
+        ).reshape(lead + (n, t_dim * n))
+
+    mm = functools.partial(jnp.matmul, precision=_TANGENT_PRECISION)
+    eye = jnp.eye(n, dtype=a.real.dtype)
+    mask = jnp.tile(eye, (1, t_dim))  # (n, T*n), mask[i, t*n+k] = d_ik
+    if jnp.iscomplexobj(a):
+        ar, ai = a_inv.real, a_inv.imag
+        jr, ji = j2.real, j2.imag
+        if _use_gauss_split():
+            # OFF by default: the extra (..., n, T*n) temporaries
+            # (jr+ji and the three products) raise peak HBM enough to
+            # OOM the production C-diamond batch-1024 bench on a 16G
+            # chip (round-3 capture log); enable via
+            # set_gauss_split(True) / DEEPSOLID_TPU_GAUSS_SPLIT=on where
+            # the det head is compute- rather than memory-bound. The
+            # 3-multiplication Gauss split (p1=Re*Re, p2=Im*Im,
+            # p3=(Re+Im)(Re+Im)) saves 25% over the 4 real matmuls of
+            # the complex product.
+            p1 = mm(ar, jr)
+            p2 = mm(ai, ji)
+            p3 = mm(ar + ai, jr + ji)
+            br, bi = p1 - p2, p3 - p1 - p2
+        else:
+            br = mm(ar, jr) - mm(ai, ji)
+            bi = mm(ar, ji) + mm(ai, jr)
+        # tr(A^-1 J_t): eye-masked diagonal reduce on the flat layout
+        jac = jax.lax.complex(_per_t(jnp.sum(br * mask, axis=-2)),
+                              _per_t(jnp.sum(bi * mask, axis=-2)))
+        # tr((A^-1 J_t)^2): pair B elementwise with its block transpose
+        # d[i, (t,k)] = B_t[k,i] — the one unavoidable full-stream
+        # transpose of the det head, done packed-to-packed per component
+        dr, di = _blk_t(br), _blk_t(bi)
+        lap2 = jax.lax.complex(
+            _per_t(jnp.sum(br * dr - bi * di, axis=-2)),
+            _per_t(jnp.sum(br * di + bi * dr, axis=-2)),
+        )
+    else:
+        b2 = mm(a_inv, j2)
+        jac = _per_t(jnp.sum(b2 * mask, axis=-2))
+        lap2 = _per_t(jnp.sum(b2 * _blk_t(b2), axis=-2))
+    lap2 = _tsum(lap2, axis_name)
     return sign, Jet(logdet, jac, lap1 - lap2)
 
 
