@@ -565,15 +565,20 @@ def _use_gauss_split() -> bool:
     return os.environ.get("DEEPSOLID_TPU_GAUSS_SPLIT", "") == "on"
 
 
-_DET_JET_KERNEL = None  # None = auto (TPU on); True/False/'interpret'
+_DET_JET_KERNEL = None  # None = auto (currently OFF); True/False/'interpret'
 
 
 def set_det_jet_kernel(enabled):
     """Force the fused Pallas det-head jet-trace kernel
-    (ops/pallas/det_jet_kernels.py) on/off. Auto (None) is ON on TPU for
-    complex64 det heads; 'interpret' runs the kernel in Pallas interpret
-    mode (CPU oracle tests). Env DEEPSOLID_TPU_DET_JET_KERNEL=on|off|
-    interpret overrides auto."""
+    (ops/pallas/det_jet_kernels.py) on/off. Auto (None) is currently OFF
+    everywhere: the kernel is numerically pinned (tests/
+    test_det_jet_kernel.py) and lowers with Mosaic-legal padded blocks,
+    but its unrolled per-tangent tr(B_t^2) loop still hits a TPU runtime
+    'Unimplemented' at production shapes — the XLA flat-einsum path
+    (the 151 walkers/s BENCH_r03 capture) stays the default until the
+    kernel beats it on chip. 'interpret' runs the kernel in Pallas
+    interpret mode (CPU oracle tests). Env
+    DEEPSOLID_TPU_DET_JET_KERNEL=on|off|interpret overrides auto."""
     global _DET_JET_KERNEL
     _DET_JET_KERNEL = enabled
 
@@ -590,7 +595,7 @@ def _use_det_jet_kernel(a) -> bool | str:
     env = os.environ.get("DEEPSOLID_TPU_DET_JET_KERNEL", "")
     if env:
         return env if env == "interpret" else (env == "on")
-    return _on_tpu()
+    return False
 
 
 def _use_det_kernel(a) -> bool | str:

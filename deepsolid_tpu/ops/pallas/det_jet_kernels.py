@@ -51,7 +51,11 @@ def _pick_bt(t_dim: int, n: int) -> int:
     import os
 
     env = os.environ.get("DEEPSOLID_TPU_DET_JET_BLOCK_T", "")
-    cap = int(env) if env else max(1, 6144 // n)
+    # ~16 live (n, bt*n) f32 planes per step (Gauss-split temporaries +
+    # the plain transpose + double-buffered input DMA) must fit the
+    # 16 MB VMEM stack: bt*n <= 3072 lanes keeps the plane 0.6 MB at
+    # n=48 (bt=96 measured 18.66M > 16M on v5e).
+    cap = int(env) if env else max(1, 3072 // n)
     best = 1
     for bt in range(1, min(cap, t_dim) + 1):
         if t_dim % bt == 0:
@@ -61,7 +65,7 @@ def _pick_bt(t_dim: int, n: int) -> int:
 
 def _kernel_body(ar_ref, ai_ref, jr_ref, ji_ref,
                  trb_r_ref, trb_i_ref, lap2_r_ref, lap2_i_ref,
-                 acc_ref, *, n, bt, t_axis, precision):
+                 acc_ref, *, n, bt, bt_pad, t_axis, precision):
     tb = pl.program_id(t_axis)
     n_tb = pl.num_programs(t_axis)
     dot = functools.partial(
@@ -80,42 +84,58 @@ def _kernel_body(ar_ref, ai_ref, jr_ref, ji_ref,
     bi = p3 - p1 - p2
 
     # trb: eye-masked diagonal row-reduce + segment sums via a selection
-    # dot (the Mosaic-legal segmented lane reduction)
+    # dot (the Mosaic-legal segmented lane reduction). The selection
+    # matrix is padded to bt_pad output lanes (Mosaic requires output
+    # lane blocks to be 128-multiples or the full axis; columns >= bt
+    # select nothing and the caller slices them off).
     row = jax.lax.broadcasted_iota(jnp.int32, (n, bt * n), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, bt * n), 1)
     mask = (col % n == row).astype(jnp.float32)
-    segr = jax.lax.broadcasted_iota(jnp.int32, (bt * n, bt), 0)
-    segc = jax.lax.broadcasted_iota(jnp.int32, (bt * n, bt), 1)
+    segr = jax.lax.broadcasted_iota(jnp.int32, (bt * n, bt_pad), 0)
+    segc = jax.lax.broadcasted_iota(jnp.int32, (bt * n, bt_pad), 1)
     sel = (segr // n == segc).astype(jnp.float32)
-    trb_r_ref[:] = dot((br * mask).sum(axis=0, keepdims=True), sel)
-    trb_i_ref[:] = dot((bi * mask).sum(axis=0, keepdims=True), sel)
+    # Output tiles are (8, bt_pad) sublane x lane blocks (the minimum
+    # Mosaic f32 tile); the row vector is broadcast across the 8
+    # sublanes and the host reads row 0.
+    trb_r_ref[:] = jnp.broadcast_to(
+        dot((br * mask).sum(axis=0, keepdims=True), sel),
+        trb_r_ref.shape[:-2] + (8, bt_pad),
+    ).reshape(trb_r_ref.shape)
+    trb_i_ref[:] = jnp.broadcast_to(
+        dot((bi * mask).sum(axis=0, keepdims=True), sel),
+        trb_i_ref.shape[:-2] + (8, bt_pad),
+    ).reshape(trb_i_ref.shape)
 
-    # sum_t tr(B_t^2): column slab of B against row slab of B.T
+    # sum_t tr(B_t^2): column slab of B against row slab of B.T.
+    # Accumulated as SMEM scalars (a vector-tile scalar would need a
+    # both-axes broadcast at the flush, which Mosaic does not implement;
+    # a scalar splat via jnp.full is supported).
     er = br.T
     ei = bi.T
-    accr = jnp.zeros((1, 1), jnp.float32)
-    acci = jnp.zeros((1, 1), jnp.float32)
+    accr = jnp.float32(0.0)
+    acci = jnp.float32(0.0)
     for t in range(bt):
         bsr = br[:, t * n:(t + 1) * n]
         bsi = bi[:, t * n:(t + 1) * n]
         esr = er[t * n:(t + 1) * n, :]
         esi = ei[t * n:(t + 1) * n, :]
-        accr = accr + jnp.sum(bsr * esr - bsi * esi,
-                              keepdims=True)[:1, :1]
-        acci = acci + jnp.sum(bsr * esi + bsi * esr,
-                              keepdims=True)[:1, :1]
+        accr = accr + jnp.sum(bsr * esr - bsi * esi)
+        acci = acci + jnp.sum(bsr * esi + bsi * esr)
 
     @pl.when(tb == 0)
     def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        acc_ref[0] = jnp.float32(0.0)
+        acc_ref[1] = jnp.float32(0.0)
 
-    acc_ref[0:1, 0:1] += accr
-    acc_ref[1:2, 0:1] += acci
+    acc_ref[0] += accr
+    acc_ref[1] += acci
 
     @pl.when(tb == n_tb - 1)
     def _():
-        lap2_r_ref[:] = acc_ref[0:1, 0:1]
-        lap2_i_ref[:] = acc_ref[1:2, 0:1]
+        lap2_r_ref[:] = jnp.full(lap2_r_ref.shape, acc_ref[0],
+                                 jnp.float32)
+        lap2_i_ref[:] = jnp.full(lap2_i_ref.shape, acc_ref[1],
+                                 jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
@@ -133,9 +153,13 @@ def det_jet_traces(a_inv, j2, block_t=None, interpret=False):
     t_dim = tn // n
     bt = block_t or _pick_bt(t_dim, n)
     n_tb = t_dim // bt
+    # Mosaic lane rule: an output block's last dim must be a multiple of
+    # 128 or the whole axis. Per-(d, tb) trb blocks carry bt tangent
+    # sums, so pad each block to bt_pad lanes and slice below.
+    bt_pad = -(-bt // 128) * 128
 
     kern = functools.partial(
-        _kernel_body, n=n, bt=bt, t_axis=1,
+        _kernel_body, n=n, bt=bt, bt_pad=bt_pad, t_axis=1,
         precision=jax.lax.Precision.HIGHEST,
     )
     trb_r, trb_i, lap2_r, lap2_i = pl.pallas_call(
@@ -152,25 +176,27 @@ def det_jet_traces(a_inv, j2, block_t=None, interpret=False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, bt), lambda d, tb: (d, tb),
+            pl.BlockSpec((1, 1, 8, bt_pad), lambda d, tb: (d, tb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt), lambda d, tb: (d, tb),
+            pl.BlockSpec((1, 1, 8, bt_pad), lambda d, tb: (d, tb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda d, tb: (d, 0),
+            pl.BlockSpec((1, 8, 128), lambda d, tb: (d, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda d, tb: (d, 0),
+            pl.BlockSpec((1, 8, 128), lambda d, tb: (d, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((d_dim, t_dim), jnp.float32),
-            jax.ShapeDtypeStruct((d_dim, t_dim), jnp.float32),
-            jax.ShapeDtypeStruct((d_dim, 1), jnp.float32),
-            jax.ShapeDtypeStruct((d_dim, 1), jnp.float32),
+            jax.ShapeDtypeStruct((d_dim, n_tb, 8, bt_pad), jnp.float32),
+            jax.ShapeDtypeStruct((d_dim, n_tb, 8, bt_pad), jnp.float32),
+            jax.ShapeDtypeStruct((d_dim, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((d_dim, 8, 128), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((2, 1), jnp.float32)],
+        scratch_shapes=[pltpu.SMEM((2,), jnp.float32)],
         interpret=bool(interpret),
     )(a_inv.real, a_inv.imag, j2.real, j2.imag)
 
+    trb_r = trb_r[:, :, 0, :bt].reshape(d_dim, t_dim)
+    trb_i = trb_i[:, :, 0, :bt].reshape(d_dim, t_dim)
     trb = jax.lax.complex(trb_r, trb_i).T  # (T, D)
-    lap2 = jax.lax.complex(lap2_r[:, 0], lap2_i[:, 0])
+    lap2 = jax.lax.complex(lap2_r[:, 0, 0], lap2_i[:, 0, 0])
     return trb, lap2

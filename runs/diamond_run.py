@@ -37,6 +37,10 @@ cfg.pretrain.iterations = 500
 cfg.optim.kfac.adaptive_damping = True
 cfg.optim.kfac.damping_adaptation_interval = 10
 cfg.log.save_path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/runs/diamond_r4"
-cfg.log.save_frequency = 15.0
+# Committed seed: rounds hand off through runs/ckpt_diamond (the live
+# save dir is gitignored; the newest ckpt is copied there and committed
+# at round end so the next round resumes instead of re-pretraining).
+cfg.log.restore_path = "/root/repo/runs/ckpt_diamond"
+cfg.log.save_frequency = 6.0
 cfg.log.stats_frequency = 10
 process.process(cfg)
