@@ -565,37 +565,52 @@ def _use_gauss_split() -> bool:
     return os.environ.get("DEEPSOLID_TPU_GAUSS_SPLIT", "") == "on"
 
 
-_DET_JET_KERNEL = None  # None = auto (currently OFF); True/False/'interpret'
+_DET_SCAN = None  # None = auto (ON); True/False to force
 
 
-def set_det_jet_kernel(enabled):
-    """Force the fused Pallas det-head jet-trace kernel
-    (ops/pallas/det_jet_kernels.py) on/off. Auto (None) is currently OFF
-    everywhere: the kernel is numerically pinned (tests/
-    test_det_jet_kernel.py) and lowers with Mosaic-legal padded blocks,
-    but its unrolled per-tangent tr(B_t^2) loop still hits a TPU runtime
-    'Unimplemented' at production shapes — the XLA flat-einsum path
-    (the 151 walkers/s BENCH_r03 capture) stays the default until the
-    kernel beats it on chip. 'interpret' runs the kernel in Pallas
-    interpret mode (CPU oracle tests). Env
-    DEEPSOLID_TPU_DET_JET_KERNEL=on|off|interpret overrides auto."""
-    global _DET_JET_KERNEL
-    _DET_JET_KERNEL = enabled
+def set_det_scan(enabled):
+    """Force the chunked-scan det-head trace contraction on/off.
+
+    Auto (None) is ON: the scan form computes B_t = A^-1 J_t and both
+    trace contractions chunk-by-chunk over the tangent axis, so the
+    full-width (.., n, T*n) product stream and its block transpose
+    never reach HBM — at the C-diamond production shape the one-shot
+    XLA form peaked ~8 GB higher (two 3.38G padded block-transpose
+    temps + four 1.27G wide-dot outputs, the el_chunk-64 OOM of
+    BENCH_r04). False restores the one-shot wide-dot form. Env
+    DEEPSOLID_TPU_DET_SCAN=on|off overrides auto."""
+    global _DET_SCAN
+    _DET_SCAN = enabled
 
 
-def _use_det_jet_kernel(a) -> bool | str:
-    # the kernel computes in f32 planes: complex64 only (f64 runs — CPU
-    # re-evals, precision anchors — keep the XLA path)
-    if a.dtype != jnp.complex64:
-        return False
-    if _DET_JET_KERNEL is not None:
-        return _DET_JET_KERNEL
+def _use_det_scan() -> bool:
+    if _DET_SCAN is not None:
+        return bool(_DET_SCAN)
     import os
 
-    env = os.environ.get("DEEPSOLID_TPU_DET_JET_KERNEL", "")
+    env = os.environ.get("DEEPSOLID_TPU_DET_SCAN", "")
     if env:
-        return env if env == "interpret" else (env == "on")
-    return False
+        return env == "on"
+    return True
+
+
+def _pick_det_scan_chunk(t_dim: int, n: int) -> int:
+    """Tangent-chunk size for the scan det head: a divisor of t_dim
+    whose lane width tc*n stays MXU-friendly (>=128 lanes, <=3072),
+    preferring 128-aligned widths (layout-cheap lane slices), then the
+    width closest to ~1024 lanes. Falls back to t_dim (one chunk = the
+    one-shot form) when no divisor fits — small molecules/tests."""
+    candidates = [
+        tc for tc in range(1, t_dim + 1)
+        if t_dim % tc == 0 and 128 <= tc * n <= 3072
+    ]
+    if not candidates:
+        return t_dim
+    return min(
+        candidates,
+        key=lambda tc: (0 if (tc * n) % 128 == 0 else 1,
+                        abs(tc * n - 1024)),
+    )
 
 
 def _use_det_kernel(a) -> bool | str:
@@ -624,6 +639,75 @@ def _use_det_kernel(a) -> bool | str:
         if _lane_block(n_pad) < 128:
             return False
     return forced
+
+
+def _det_scan_traces(a_inv, j2, t_dim, n, lead):
+    """Chunked-scan det-head trace contractions (the default XLA path).
+
+    jac[t] = tr(A^-1 J_t) and lap2 = sum_t tr((A^-1 J_t)^2), computed
+    per lane-aligned tangent chunk of the wide (.., n, T*n) stream: each
+    scan step forms only its (.., n, tc*n) slice of B = A^-1 J, reduces
+    both traces, and accumulates — the full-width product stream, its
+    block transpose, and their padded (.., n, T, n) views never reach
+    HBM (at C-diamond el_chunk 64 the one-shot form held two 3.38G
+    padded transpose temps plus four 1.27G dot outputs live at once —
+    the BENCH_r04 OOM). The per-chunk block transpose pads only
+    (.., n, tc, n) — VMEM-scale. Matmuls ride the tangent precision
+    tier (set_tangent_precision)."""
+    tc = _pick_det_scan_chunk(t_dim, n)
+    steps = t_dim // tc
+    mm = functools.partial(jnp.matmul, precision=_TANGENT_PRECISION)
+    eye = jnp.eye(n, dtype=a_inv.real.dtype)
+    mask = jnp.tile(eye, (1, tc))  # (n, tc*n), mask[i, t*n+k] = d_ik
+
+    def _per_t(rowsum):  # (..., tc*n) -> (tc, ...)
+        return jnp.moveaxis(
+            rowsum.reshape(lead + (tc, n)).sum(-1), -1, 0)
+
+    def _blk(x):  # (..., i, (t,k)) -> (..., k, (t,i)) within the chunk
+        return jnp.swapaxes(
+            x.reshape(lead + (n, tc, n)), -3, -1
+        ).reshape(lead + (n, tc * n))
+
+    if jnp.iscomplexobj(j2):
+        ar, ai = a_inv.real, a_inv.imag
+
+        def body(acc, c):
+            sl = jax.lax.dynamic_slice_in_dim(j2, c * tc * n, tc * n,
+                                              axis=-1)
+            jr, ji = sl.real, sl.imag
+            if _use_gauss_split():
+                p1 = mm(ar, jr)
+                p2 = mm(ai, ji)
+                p3 = mm(ar + ai, jr + ji)
+                br, bi = p1 - p2, p3 - p1 - p2
+            else:
+                br = mm(ar, jr) - mm(ai, ji)
+                bi = mm(ar, ji) + mm(ai, jr)
+            trb = jax.lax.complex(_per_t(jnp.sum(br * mask, axis=-2)),
+                                  _per_t(jnp.sum(bi * mask, axis=-2)))
+            dr, di = _blk(br), _blk(bi)
+            l2 = jax.lax.complex(
+                jnp.sum(br * dr - bi * di, axis=(-1, -2)),
+                jnp.sum(br * di + bi * dr, axis=(-1, -2)),
+            )
+            return acc + l2, trb
+    else:
+
+        def body(acc, c):
+            sl = jax.lax.dynamic_slice_in_dim(j2, c * tc * n, tc * n,
+                                              axis=-1)
+            b = mm(a_inv, sl)
+            trb = _per_t(jnp.sum(b * mask, axis=-2))
+            l2 = jnp.sum(b * _blk(b), axis=(-1, -2))
+            return acc + l2, trb
+
+    lap2, trbs = jax.lax.scan(
+        body, jnp.zeros(lead, dtype=j2.dtype),
+        jnp.arange(steps), length=steps,
+    )
+    jac = trbs.reshape((t_dim,) + lead)  # step-major == global t order
+    return jac, lap2
 
 
 def slogdet_jet(mat: Jet, axis_name=None) -> Tuple[jnp.ndarray, Jet]:
@@ -678,28 +762,15 @@ def slogdet_jet(mat: Jet, axis_name=None) -> Tuple[jnp.ndarray, Jet]:
     # columns it never reads
     lap1 = jnp.sum(a_inv * jnp.swapaxes(mat.lap, -1, -2), axis=(-1, -2))
 
-    use_jet_kernel = _use_det_jet_kernel(a)
-    if use_jet_kernel:
-        # Fused Pallas path: B = A^-1 J_t and both trace contractions
-        # stay in VMEM — the stream is read once, packed, and no
-        # (.., n, n)-padded or transposed copy ever reaches HBM
-        # (ops/pallas/det_jet_kernels.py).
-        from deepsolid_tpu.ops.pallas import det_jet_kernels
-
-        nd = 1
-        for s in lead:
-            nd *= s
-        trb, l2 = det_jet_kernels.det_jet_traces(
-            a_inv.reshape((nd, n, n)),
-            j2.reshape((nd, n, t_dim * n)),
-            interpret=(use_jet_kernel == "interpret"),
-        )
-        jac = trb.reshape((t_dim,) + lead)
-        lap2 = l2.reshape(lead)
+    if _use_det_scan():
+        jac, lap2 = _det_scan_traces(a_inv, j2, t_dim, n, lead)
         if axis_name is not None:
             lap2 = jax.lax.psum(lap2, axis_name)
         return sign, Jet(logdet, jac, lap1 - lap2)
 
+    # One-shot wide-dot form (DEEPSOLID_TPU_DET_SCAN=off; superseded by
+    # the chunked scan above, which holds ~8 GB less live at the
+    # C-diamond production shape — see _det_scan_traces).
     # The trace contractions stay on the FLAT (n, T*n) layout: any
     # materialization of the (i, T, k) view pads its 48-lane minor dim
     # 2.7x (3.38 GiB each at C-diamond el_chunk 64), and einsum /

@@ -159,6 +159,15 @@ def process(cfg, max_iterations: Optional[int] = None):
     ) or checkpoint_lib.find_last_checkpoint(
         checkpoint_lib.get_restore_path(cfg.log.restore_path)
     )
+    if cfg.log.restore_path and not ckpt_restore_filename:
+        # a configured restore_path with nothing restorable silently
+        # re-pretrains from scratch — loud enough to catch a lost
+        # cross-round checkpoint handoff (runs/diamond_run.py protocol)
+        logging.warning(
+            "log.restore_path=%s is set but no usable checkpoint was "
+            "found there (or in save_path); starting from scratch.",
+            cfg.log.restore_path,
+        )
 
     seed = 666 if cfg.debug.deterministic else int(1e6 * time.time()) % (2**31)
     if jax.process_count() > 1 and not cfg.debug.deterministic:

@@ -26,9 +26,10 @@ cfg.precision = "float32"
 cfg.optim.optimizer = "kfac"
 cfg.optim.laplacian_mode = "forward"
 cfg.optim.iterations = 200000
-# el_chunk 64 fit before the row-local envelope*phase jet product; the
-# one-pass form's layout copies push 64 to 17.0G > 15.75G HBM — 32 fits
-cfg.optim.el_chunk = 32
+# el_chunk 64 fits again since the chunked-scan det head (fwdlap.
+# _det_scan_traces) removed the ~8G of full-width block-transpose temps
+# that pushed the one-shot form to 15.97G > 15.75G HBM
+cfg.optim.el_chunk = 64
 cfg.mcmc.burn_in = 100
 cfg.mcmc.steps = 20
 cfg.pretrain.method = "net"
