@@ -26,6 +26,31 @@ from deepsolid_tpu.ops import fwdlap as fl
 from deepsolid_tpu.ops.distance import enforce_pbc
 
 
+def _use_orb_scan() -> bool:
+    """Gate for the tangent-chunked orbital+det head (default OFF —
+    a MEMORY lever, not a speed default).
+
+    The round-5 on-chip trace showed ~31% of the C-diamond kinetic eval
+    in layout churn of the full-width post-trunk tangent stream: the
+    (T, ndet, n, n) orbital jac built by mul_row was materialized padded
+    (48-lane minor, 2.7x), relayouted twice, and repacked into the det
+    head's flat (n, T*n) stream. The scan form slices the trunk jac per
+    tangent chunk (T is a major axis — layout-free), runs orbital dense
+    -> envelope*phase row product -> det trace contraction on
+    chunk-sized temporaries, and never materializes any post-trunk
+    (T, ...) tensor: at C-diamond el_chunk 128 the top live allocations
+    become pure trunk streams. Measured same-window at el_chunk 64
+    (C-diamond, batch 1024): 118.5 vs 129.1 walkers/s — 0.92x (the
+    full-width path's relayout copies overlap with compute; the scan
+    serializes) — so speed keeps the full-width default and the scan is
+    opt-in where the full-width orbital jac does not fit (large
+    electron counts / large el_chunk). DEEPSOLID_TPU_ORB_SCAN=on
+    enables it."""
+    import os
+
+    return os.environ.get("DEEPSOLID_TPU_ORB_SCAN", "off") == "on"
+
+
 def _channel_ranges(spins):
     ranges = []
     start = 0
@@ -120,7 +145,7 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig,
     # W rows are ordered [h1 | means | pair means] (models/network.py
     # construct_symmetric_features), so w splits into
     #   w_rv = [w[:f1]; w[f1*(1+nch):]]   and   w_rc = w[f1 : f1*(1+nch)].
-    def symmetric_split(h1: fl.Jet, h2: fl.Jet):
+    def symmetric_split_parts(h1: fl.Jet, h2: fl.Jet):
         rc_parts = []
         for (s, e) in ranges:
             h1s = fl.slice_axis(h1, 0, s, e)
@@ -139,7 +164,11 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig,
                     lap=jnp.mean(h2.lap[s:e], axis=0),
                 )
             )
-        return fl.concat(rv_parts, axis=1), fl.concat(rc_parts, axis=1)
+        return rv_parts, fl.concat(rc_parts, axis=1)
+
+    def symmetric_split(h1: fl.Jet, h2: fl.Jet):
+        rv_parts, rc = symmetric_split_parts(h1, h2)
+        return fl.concat(rv_parts, axis=1), rc
 
     def split_w(w, f1):
         nch = len(ranges)
@@ -180,34 +209,47 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig,
             fl.dense_tanh_mix(h_rv, h_rc, w_rv, w_rc, p1.get("b"),
                               axis_name=deriv_axis),
         )
-        h_to_orbitals = (h_one, None, None)
+        orb_parts, h_orb_rc, f1_orb = [h_one], None, None
     else:
-        f1 = h_one.val.shape[-1]
-        h_rv, h_rc = symmetric_split(h_one, h_two)
-        h_to_orbitals = (h_rv, h_rc, f1)
+        f1_orb = h_one.val.shape[-1]
+        orb_parts, h_orb_rc = symmetric_split_parts(h_one, h_two)
 
     # ---- orbital heads ----------------------------------------------------------
     envelope_fn = envelopes_lib.ENVELOPES[cfg.envelope_type]
-    active = [s for s in spins if s > 0]
     klist = [jnp.asarray(k, dtype) for k in spec.klist]
     if cfg.full_det:
         k_cols = jnp.concatenate(klist, axis=0)
 
+    use_scan = _use_orb_scan()
+
+    def jet0(j: fl.Jet) -> fl.Jet:
+        # value/lap-only view: every fl op below short-circuits its
+        # tangent work on the empty axis (the scan supplies the jacs)
+        return fl.Jet(j.val, j.jac[:0], j.lap)
+
+    if use_scan:
+        h_orb_rv = fl.concat([jet0(p) for p in orb_parts], axis=1)
+        rc0 = jet0(h_orb_rc) if h_orb_rc is not None else None
+    else:
+        h_orb_rv = fl.concat(orb_parts, axis=1)
+        rc0 = h_orb_rc
+
     sign_total = None
     l_total = None
     channel_jets = []
-    h_orb_rv, h_orb_rc, f1_orb = h_to_orbitals
+    scan_ing = []  # per-channel ingredients for the tangent-chunk scan
     for ch, (s, e) in enumerate(ranges):
         spin = e - s
         w_orb = params["orbital"][ch]["w"]
         b_orb = params["orbital"][ch].get("b")
         if h_orb_rc is None:
             raw = fl.dense(fl.slice_axis(h_orb_rv, 0, s, e), w_orb, b_orb)
+            w_rv = w_orb
         else:
             # the row-constant mean block is unaffected by row slicing
             w_rv, w_rc = split_w(w_orb, f1_orb)
             raw = fl.dense_mix(
-                fl.slice_axis(h_orb_rv, 0, s, e), h_orb_rc, w_rv, w_rc,
+                fl.slice_axis(h_orb_rv, 0, s, e), rc0, w_rv, w_rc,
                 b_orb,
             )
         nparam = raw.val.shape[-1] // 2
@@ -267,19 +309,45 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig,
             + 2.0 * jnp.sum(env_jac3 * phase_jac3[:, :, None, :], axis=0)
             + env_val * phase_lap[:, None, :]
         )
+        ep_val_sw = jnp.swapaxes(ep_val, 0, 1)       # (ndet, spin, norb)
+        ep_jac3_sw = jnp.swapaxes(ep_jac3, 1, 2)     # (3, ndet, spin, norb)
+        orb_val0 = orb.val                           # (ndet, spin, norb)
         orb = fl.mul_row(
-            orb,
-            jnp.swapaxes(ep_val, 0, 1),          # (ndet, spin, norb)
-            jnp.swapaxes(ep_jac3, 1, 2),         # (3, ndet, spin, norb)
+            orb, ep_val_sw, ep_jac3_sw,
             jnp.swapaxes(ep_lap, 0, 1),
             n_total=n, offset=s, axis_name=deriv_axis,
         )
         channel_jets.append(orb)
+        if use_scan:
+            if h_orb_rc is None:
+                w_parts = [w_orb]
+                jbc = None
+            else:
+                widths = [p.val.shape[-1] for p in orb_parts]
+                offs = [0]
+                for wd in widths:
+                    offs.append(offs[-1] + wd)
+                w_parts = [w_rv[offs[i]:offs[i + 1]]
+                           for i in range(len(widths))]
+                f_rc = h_orb_rc.val.shape[-1]
+                jbc = h_orb_rc.jac.reshape(-1, f_rc) @ w_rc  # (T_loc, d_out)
+            scan_ing.append(dict(
+                s=s, spin=spin, ndet=ndet, norb=norb, nparam=nparam,
+                w_parts=w_parts, jbc=jbc, ep_val_sw=ep_val_sw,
+                ep_jac3_sw=ep_jac3_sw, orb_val0=orb_val0,
+            ))
 
     if cfg.full_det:
         mats = [fl.concat(channel_jets, axis=1)]
     else:
         mats = channel_jets
+
+    if use_scan:
+        sign_total, l_total = _orbital_det_scan(
+            mats, scan_ing, orb_parts, cfg.full_det, deriv_axis,
+        )
+        return fl.logsumexp_det_jet(sign_total, l_total,
+                                    axis_name=deriv_axis)
 
     for mat in mats:
         sign, l = fl.slogdet_jet(mat, axis_name=deriv_axis)
@@ -290,6 +358,125 @@ def network_jets(params, x, spec: SystemSpec, cfg: NetworkConfig,
             l_total = fl.add(l_total, l)
 
     return fl.logsumexp_det_jet(sign_total, l_total, axis_name=deriv_axis)
+
+
+def _orbital_det_scan(mats0, ing, parts, full_det, deriv_axis):
+    """Tangent-chunked orbital + det head.
+
+    mats0: per-mat VALUE/LAP jets (empty tangent axis) — the full
+    orbital pipeline already applied to val/lap, missing only the
+    jac-borne 2*cross term of the envelope*phase product Laplacian.
+    ing: per-channel scan ingredients (weight slices, row-local
+    envelope*phase factors, pre-product orbital values).
+    parts: trunk rv jets whose DENSE jacs (T_loc, n, f_p) are the only
+    full-width tangent tensors read — sliced per chunk along the major
+    T axis (layout-free), so no post-trunk (T, ...) tensor is ever
+    materialized (the full-width form spent ~31% of the kinetic eval
+    relayouting the padded (T, ndet, n, n) orbital jac; round-5 trace).
+
+    Per chunk: trunk-jac slice -> orbital dense -> complexify ->
+    envelope*phase row-local product -> flat (n, tc*n) packing ->
+    det trace contractions (fl.det_trace_chunk). Carries accumulate
+    sum_t tr((A^-1 J_t)^2) per mat and the product-rule cross term per
+    channel; stacked outputs are the per-tangent tr(A^-1 J_t).
+
+    Returns (sign_total, l_total) matching the slogdet_jet-per-mat
+    combination of the full-width path.
+    """
+    t_loc = parts[0].jac.shape[0]
+    facs = [fl.det_factor(m.val) for m in mats0]
+    n_max = max(m.val.shape[-1] for m in mats0)
+    tc = fl._pick_det_scan_chunk(t_loc, n_max)
+    steps = t_loc // tc
+    shard0 = (jax.lax.axis_index(deriv_axis) * t_loc
+              if deriv_axis is not None else 0)
+    part_jacs = [p.jac for p in parts]
+    prec = fl._tprec()
+
+    def channel_chunk(g, c0, d):
+        s, spin = d["s"], d["spin"]
+        ndet, norb, nparam = d["ndet"], d["norb"], d["nparam"]
+        jr = None
+        for pj, wp in zip(part_jacs, d["w_parts"]):
+            sl = jax.lax.dynamic_slice_in_dim(pj, c0, tc, axis=0)
+            contrib = jnp.matmul(sl[:, s:s + spin, :], wp, precision=prec)
+            jr = contrib if jr is None else jr + contrib
+        if d["jbc"] is not None:
+            jr = jr + jax.lax.dynamic_slice_in_dim(
+                d["jbc"], c0, tc, axis=0)[:, None, :]
+        jc = jax.lax.complex(jr[..., :nparam], jr[..., nparam:])
+        # (tc, spin, nparam) -> (tc, ndet, spin, norb)
+        jc = jc.reshape(tc, spin, ndet, norb).swapaxes(1, 2)
+        # row-local envelope*phase product on this chunk's slab rows:
+        # global tangent row g corresponds to electron i_g = g//3 - s
+        # (component g%3) of this channel — mirror of fl.mul_row
+        i_g = g // 3 - s
+        comp = g % 3
+        valid = (i_g >= 0) & (i_g < spin)
+        i_cl = jnp.clip(i_g, 0, spin - 1)
+        bj_row = d["ep_jac3_sw"][comp, :, i_cl, :]       # (tc, ndet, norb)
+        av_row = jnp.moveaxis(d["orb_val0"][:, i_cl, :], 1, 0)
+        u = av_row * bj_row                              # (tc, ndet, norb)
+        rowsel = ((i_cl[:, None] == jnp.arange(spin)[None])
+                  & valid[:, None]).astype(jr.dtype)     # (tc, spin)
+        jac_mat = (jc * d["ep_val_sw"][None]
+                   + rowsel[:, None, :, None] * u[:, :, None, :])
+        # Laplacian cross term: pairs the chunk's slab-diagonal jac rows
+        # with the row-local factor's jac
+        g_rows = jc[jnp.arange(tc), :, i_cl, :]          # (tc, ndet, norb)
+        cross_c = jnp.einsum("tdf,ts->dsf", g_rows * bj_row, rowsel)
+        return jac_mat, cross_c
+
+    def body(carry, c):
+        l2s, crosses = carry
+        c0 = c * tc
+        g = shard0 + c0 + jnp.arange(tc)
+        chunks, new_crosses = [], []
+        for ci, d in enumerate(ing):
+            jac_mat, cross_c = channel_chunk(g, c0, d)
+            chunks.append(jac_mat)
+            new_crosses.append(crosses[ci] + cross_c)
+        mats_chunks = ([jnp.concatenate(chunks, axis=2)] if full_det
+                       else chunks)
+        trbs, new_l2s = [], []
+        for mi, (jm, fac) in enumerate(zip(mats_chunks, facs)):
+            ndet, nm = jm.shape[1], jm.shape[2]
+            j2c = jnp.moveaxis(jm, 0, -2).reshape(ndet, nm, tc * nm)
+            trb_c, l2_c = fl.det_trace_chunk(fac[0], j2c, tc, nm,
+                                             lead=(ndet,))
+            trbs.append(trb_c)
+            new_l2s.append(l2s[mi] + l2_c)
+        return (tuple(new_l2s), tuple(new_crosses)), tuple(trbs)
+
+    cdtype = mats0[0].val.dtype
+    init = (
+        tuple(jnp.zeros((m.val.shape[0],), cdtype) for m in mats0),
+        tuple(jnp.zeros(d["orb_val0"].shape, cdtype) for d in ing),
+    )
+    (l2s, crosses), trbs = jax.lax.scan(
+        body, init, jnp.arange(steps), length=steps)
+
+    sign_total = None
+    l_total = None
+    for mi, (m0, (a_inv, sign, logdet)) in enumerate(zip(mats0, facs)):
+        cross = (jnp.concatenate(crosses, axis=1) if full_det
+                 else crosses[mi])
+        if deriv_axis is not None:
+            cross = jax.lax.psum(cross, deriv_axis)
+        mat_lap = m0.lap + 2.0 * cross
+        lap1 = jnp.sum(a_inv * jnp.swapaxes(mat_lap, -1, -2),
+                       axis=(-1, -2))
+        lap2 = l2s[mi]
+        if deriv_axis is not None:
+            lap2 = jax.lax.psum(lap2, deriv_axis)
+        jac = trbs[mi].reshape(t_loc, -1)  # step-major == tangent order
+        l = fl.Jet(logdet, jac, lap1 - lap2)
+        if l_total is None:
+            sign_total, l_total = sign, l
+        else:
+            sign_total = sign_total * sign
+            l_total = fl.add(l_total, l)
+    return sign_total, l_total
 
 
 def make_kinetic_forward(network, deriv_axis=None) -> Callable:

@@ -389,6 +389,12 @@ def mul_row(a: Jet, b_val, b_jac3, b_lap, n_total: int, offset: int,
     With `axis_name`, a.jac holds this device's tangent slice;
     out-of-slice rows are masked and the cross term is psummed."""
     d_dim, rows, f_dim = a.val.shape
+    if a.jac.shape[0] == 0:
+        # empty tangent axis (value/lap-only jets, e.g. the orbital-scan
+        # value path): no slab update, no cross term — the jac-borne
+        # 2*cross piece of the product Laplacian is the caller's to add
+        return Jet(a.val * b_val, a.jac,
+                   a.lap * b_val + a.val * b_lap)
     i_idx = jnp.repeat(jnp.arange(rows), 3)                 # (3*rows,)
     t_idx = 3 * (offset + i_idx) + jnp.tile(jnp.arange(3), rows)
     t_loc = a.jac.shape[0]
@@ -599,7 +605,16 @@ def _pick_det_scan_chunk(t_dim: int, n: int) -> int:
     whose lane width tc*n stays MXU-friendly (>=128 lanes, <=3072),
     preferring 128-aligned widths (layout-cheap lane slices), then the
     width closest to ~1024 lanes. Falls back to t_dim (one chunk = the
-    one-shot form) when no divisor fits — small molecules/tests."""
+    one-shot form) when no divisor fits — small molecules/tests.
+    DEEPSOLID_TPU_DET_SCAN_TC overrides for on-chip sweeps (clamped to
+    the nearest divisor of t_dim)."""
+    import os
+
+    env = os.environ.get("DEEPSOLID_TPU_DET_SCAN_TC", "")
+    if env:
+        want = int(env)
+        divs = [tc for tc in range(1, t_dim + 1) if t_dim % tc == 0]
+        return min(divs, key=lambda tc: abs(tc - want))
     candidates = [
         tc for tc in range(1, t_dim + 1)
         if t_dim % tc == 0 and 128 <= tc * n <= 3072
@@ -641,21 +656,39 @@ def _use_det_kernel(a) -> bool | str:
     return forced
 
 
-def _det_scan_traces(a_inv, j2, t_dim, n, lead):
-    """Chunked-scan det-head trace contractions (the default XLA path).
+def det_factor(a):
+    """(A^-1, sign, logdet) for batched square matrices (..., n, n) —
+    either the Pallas lane-batched Gauss-Jordan kernel
+    (ops/pallas/det_kernels.py) or XLA's LU. The explicit inverse (one
+    LU solve on the identity) lets the T per-tangent products A^-1 J_t
+    ride the MXU as batched matmuls — T triangular solves would
+    serialize on TPU. Same LU, same conditioning; one extra matmul
+    rounding, negligible at full-f32 precision."""
+    use_kernel = _use_det_kernel(a)
+    if use_kernel:
+        from deepsolid_tpu.ops.pallas import det_kernels
 
-    jac[t] = tr(A^-1 J_t) and lap2 = sum_t tr((A^-1 J_t)^2), computed
-    per lane-aligned tangent chunk of the wide (.., n, T*n) stream: each
-    scan step forms only its (.., n, tc*n) slice of B = A^-1 J, reduces
-    both traces, and accumulates — the full-width product stream, its
-    block transpose, and their padded (.., n, T, n) views never reach
-    HBM (at C-diamond el_chunk 64 the one-shot form held two 3.38G
-    padded transpose temps plus four 1.27G dot outputs live at once —
-    the BENCH_r04 OOM). The per-chunk block transpose pads only
-    (.., n, tc, n) — VMEM-scale. Matmuls ride the tangent precision
+        fn = (det_kernels.gj_inverse_slogdet_interpret
+              if use_kernel == "interpret"
+              else det_kernels.gj_inverse_slogdet)
+        return fn(a)
+    lu, piv = jax.scipy.linalg.lu_factor(a)
+    sign, logdet = jnp.linalg.slogdet(a)
+    solve = functools.partial(jax.scipy.linalg.lu_solve, (lu, piv))
+    n = a.shape[-1]
+    a_inv = solve(jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape))
+    return a_inv, sign, logdet
+
+
+def det_trace_chunk(a_inv, j2c, tc, n, lead):
+    """One tangent chunk of the det-head trace contractions.
+
+    a_inv: (*lead, n, n); j2c: (*lead, n, tc*n) — the chunk's slice of
+    the wide tangent stream, lanes ordered (t, k). Returns
+    (trb (tc, *lead) = tr(A^-1 J_t), l2 (*lead,) = sum_t tr((A^-1
+    J_t)^2) over the chunk). The only padded temp is the chunk-local
+    (.., n, tc, n) block transpose. Matmuls ride the tangent precision
     tier (set_tangent_precision)."""
-    tc = _pick_det_scan_chunk(t_dim, n)
-    steps = t_dim // tc
     mm = functools.partial(jnp.matmul, precision=_TANGENT_PRECISION)
     eye = jnp.eye(n, dtype=a_inv.real.dtype)
     mask = jnp.tile(eye, (1, tc))  # (n, tc*n), mask[i, t*n+k] = d_ik
@@ -669,45 +702,71 @@ def _det_scan_traces(a_inv, j2, t_dim, n, lead):
             x.reshape(lead + (n, tc, n)), -3, -1
         ).reshape(lead + (n, tc * n))
 
-    if jnp.iscomplexobj(j2):
+    if jnp.iscomplexobj(j2c):
         ar, ai = a_inv.real, a_inv.imag
-
-        def body(acc, c):
-            sl = jax.lax.dynamic_slice_in_dim(j2, c * tc * n, tc * n,
-                                              axis=-1)
-            jr, ji = sl.real, sl.imag
-            if _use_gauss_split():
-                p1 = mm(ar, jr)
-                p2 = mm(ai, ji)
-                p3 = mm(ar + ai, jr + ji)
-                br, bi = p1 - p2, p3 - p1 - p2
-            else:
-                br = mm(ar, jr) - mm(ai, ji)
-                bi = mm(ar, ji) + mm(ai, jr)
-            trb = jax.lax.complex(_per_t(jnp.sum(br * mask, axis=-2)),
-                                  _per_t(jnp.sum(bi * mask, axis=-2)))
-            dr, di = _blk(br), _blk(bi)
-            l2 = jax.lax.complex(
-                jnp.sum(br * dr - bi * di, axis=(-1, -2)),
-                jnp.sum(br * di + bi * dr, axis=(-1, -2)),
-            )
-            return acc + l2, trb
+        jr, ji = j2c.real, j2c.imag
+        if _use_gauss_split():
+            p1 = mm(ar, jr)
+            p2 = mm(ai, ji)
+            p3 = mm(ar + ai, jr + ji)
+            br, bi = p1 - p2, p3 - p1 - p2
+        else:
+            br = mm(ar, jr) - mm(ai, ji)
+            bi = mm(ar, ji) + mm(ai, jr)
+        trb = jax.lax.complex(_per_t(jnp.sum(br * mask, axis=-2)),
+                              _per_t(jnp.sum(bi * mask, axis=-2)))
+        dr, di = _blk(br), _blk(bi)
+        l2 = jax.lax.complex(
+            jnp.sum(br * dr - bi * di, axis=(-1, -2)),
+            jnp.sum(br * di + bi * dr, axis=(-1, -2)),
+        )
     else:
+        b = mm(a_inv, j2c)
+        trb = _per_t(jnp.sum(b * mask, axis=-2))
+        l2 = jnp.sum(b * _blk(b), axis=(-1, -2))
+    return trb, l2
 
-        def body(acc, c):
-            sl = jax.lax.dynamic_slice_in_dim(j2, c * tc * n, tc * n,
-                                              axis=-1)
-            b = mm(a_inv, sl)
-            trb = _per_t(jnp.sum(b * mask, axis=-2))
-            l2 = jnp.sum(b * _blk(b), axis=(-1, -2))
-            return acc + l2, trb
+
+def _det_scan_traces(a_inv, j2, t_dim, n, lead):
+    """Chunked-scan det-head trace contractions (the default XLA path).
+
+    jac[t] = tr(A^-1 J_t) and lap2 = sum_t tr((A^-1 J_t)^2), computed
+    per lane-aligned tangent chunk of the wide (.., n, T*n) stream: each
+    scan step forms only its (.., n, tc*n) slice of B = A^-1 J, reduces
+    both traces, and accumulates — the full-width product stream, its
+    block transpose, and their padded (.., n, T, n) views never reach
+    HBM (at C-diamond el_chunk 64 the one-shot form held two 3.38G
+    padded transpose temps plus four 1.27G dot outputs live at once —
+    the BENCH_r04 OOM)."""
+    tc = _pick_det_scan_chunk(t_dim, n)
+    steps = t_dim // tc
+
+    def body(acc, c):
+        sl = jax.lax.dynamic_slice_in_dim(j2, c * tc * n, tc * n, axis=-1)
+        trb, l2 = det_trace_chunk(a_inv, sl, tc, n, lead)
+        return acc + l2, trb
 
     lap2, trbs = jax.lax.scan(
         body, jnp.zeros(lead, dtype=j2.dtype),
-        jnp.arange(steps), length=steps,
+        jnp.arange(steps), length=steps, unroll=_det_scan_unroll(steps),
     )
     jac = trbs.reshape((t_dim,) + lead)  # step-major == global t order
     return jac, lap2
+
+
+def _det_scan_unroll(steps: int) -> int:
+    """Unroll factor for the det-head tangent-chunk scans: unrolled
+    bodies expose independent chunk chains XLA can pipeline (the only
+    loop-carried dependency is the cheap accumulator add), trading a
+    bounded amount of live-temp memory back for overlap. Env
+    DEEPSOLID_TPU_DET_SCAN_UNROLL (default 1)."""
+    import os
+
+    u = int(os.environ.get("DEEPSOLID_TPU_DET_SCAN_UNROLL", "1"))
+    u = max(1, min(u, steps))
+    while steps % u:
+        u -= 1
+    return u
 
 
 def slogdet_jet(mat: Jet, axis_name=None) -> Tuple[jnp.ndarray, Jet]:
@@ -721,26 +780,7 @@ def slogdet_jet(mat: Jet, axis_name=None) -> Tuple[jnp.ndarray, Jet]:
     with the walker/det batch across lanes.
     """
     a = mat.val
-    use_kernel = _use_det_kernel(a)
-    if use_kernel:
-        from deepsolid_tpu.ops.pallas import det_kernels
-
-        fn = (det_kernels.gj_inverse_slogdet_interpret
-              if use_kernel == "interpret"
-              else det_kernels.gj_inverse_slogdet)
-        a_inv, sign, logdet = fn(a)
-    else:
-        lu, piv = jax.scipy.linalg.lu_factor(a)
-        sign, logdet = jnp.linalg.slogdet(a)
-
-        solve = functools.partial(jax.scipy.linalg.lu_solve, (lu, piv))
-        # Explicit inverse (one LU solve on the identity), then the T
-        # per-tangent products A^-1 J_t ride the MXU as batched matmuls —
-        # T triangular solves would serialize on TPU. Same LU, same
-        # conditioning; one extra matmul rounding, negligible at full-f32
-        # precision.
-        n = a.shape[-1]
-        a_inv = solve(jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape))
+    a_inv, sign, logdet = det_factor(a)
     # Wide-dot restructure (round-4 on-chip op trace): forming A^-1 J_t
     # as a T-batched matmul over (n, n) tiles made XLA relayout the
     # (T, ..., n, n) stream around every consumer — seven full-stream

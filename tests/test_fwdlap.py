@@ -247,3 +247,23 @@ def test_jet_storage_bf16_kinetic(request):
     )
     # f64 path unchanged under the bf16 setting
     assert complex(kin(params, x)) == f64_ref
+
+
+@pytest.mark.parametrize("full_det", [False, True])
+def test_orbital_det_scan_matches_full_width(full_det, monkeypatch):
+    """The opt-in tangent-chunked orbital+det head (fwdlap_forward.
+    _orbital_det_scan, DEEPSOLID_TPU_ORB_SCAN=on — the memory lever for
+    large electron counts) must reproduce the full-width path's jet
+    exactly up to summation order."""
+    sc = lih_supercell()
+    net, params, x = build(sc, full_det=full_det, dets=2)
+    monkeypatch.delenv("DEEPSOLID_TPU_ORB_SCAN", raising=False)
+    want = network_jets(params, x, net.spec, net.cfg)
+    monkeypatch.setenv("DEEPSOLID_TPU_ORB_SCAN", "on")
+    got = network_jets(params, x, net.spec, net.cfg)
+    np.testing.assert_allclose(np.asarray(got.val), np.asarray(want.val),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.jac), np.asarray(want.jac),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.lap), np.asarray(want.lap),
+                               rtol=1e-9, atol=1e-12)
