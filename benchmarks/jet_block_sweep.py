@@ -9,13 +9,15 @@ step trade sequential grid iterations against VMEM residency
 Each block_t value runs in a fresh subprocess (the env var is read at
 first kernel build) timing the kinetic-only path at production chunk.
 
-Values are block_t integers or "bn:bt" pairs (bn = row block,
-DEEPSOLID_TPU_JET_BLOCK_N; "auto" row blocking minimizes electron-row
-padding — n=96 tiles exactly at bn=96 where the legacy fixed 64 padded
-to 128).
+Values are block_t integers, "bn:bt" pairs, or "bn:bt:bc" triples
+(bn = row block, DEEPSOLID_TPU_JET_BLOCK_N; "auto" row blocking
+minimizes electron-row padding — n=96 tiles exactly at bn=96 where the
+legacy fixed 64 padded to 128; bc = output-column block,
+DEEPSOLID_TPU_JET_BLOCK_C — the jac input block is re-read once per
+column block, so bc=256 halves the dominant HBM read at d_out=256).
 
 Usage: python benchmarks/jet_block_sweep.py [values ...]
-       (default: 8 16 32 64:8 auto:8 auto:16 auto:32)
+       (default: 8 16 32 auto:8:256 auto:16:256 auto:24:256 auto:32:256)
 """
 import json
 import os
@@ -60,17 +62,24 @@ print("RATE", batch * 3 / dt)
 
 
 def main():
-    values = sys.argv[1:] or ["8", "16", "32", "64:8", "auto:8",
-                              "auto:16", "auto:32"]
+    values = sys.argv[1:] or ["8", "16", "32", "auto:8:256",
+                              "auto:16:256", "auto:24:256", "auto:32:256"]
     out = {}
     for spec in values:
-        bn, _, bt = spec.rpartition(":")
+        parts = spec.split(":")
+        bn = parts[0] if len(parts) > 1 else ""
+        bt = parts[1] if len(parts) > 1 else parts[0]
+        bc = parts[2] if len(parts) > 2 else ""
         env = dict(os.environ)
         env["DEEPSOLID_TPU_JET_BLOCK_T"] = bt
         if bn:
             env["DEEPSOLID_TPU_JET_BLOCK_N"] = bn
         else:
             env.pop("DEEPSOLID_TPU_JET_BLOCK_N", None)
+        if bc:
+            env["DEEPSOLID_TPU_JET_BLOCK_C"] = bc
+        else:
+            env.pop("DEEPSOLID_TPU_JET_BLOCK_C", None)
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", CHILD], env=env, timeout=1500,

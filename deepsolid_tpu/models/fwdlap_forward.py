@@ -46,9 +46,7 @@ def _use_orb_scan() -> bool:
     opt-in where the full-width orbital jac does not fit (large
     electron counts / large el_chunk). DEEPSOLID_TPU_ORB_SCAN=on
     enables it."""
-    import os
-
-    return os.environ.get("DEEPSOLID_TPU_ORB_SCAN", "off") == "on"
+    return fl.env_flag("DEEPSOLID_TPU_ORB_SCAN", {"on", "off"}) == "on"
 
 
 def _channel_ranges(spins):

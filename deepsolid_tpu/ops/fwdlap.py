@@ -35,6 +35,29 @@ _TANGENT_PRECISION = None  # None = inherit jax_default_matmul_precision
 
 _JET_STORAGE = None  # None = resolve from env (default f32); 'f32'|'bf16'
 
+_WARNED_ENVS = set()
+
+
+def env_flag(name, valid, default=""):
+    """Read an on/off-style env gate, warning ONCE on unrecognized
+    values ('1', 'true', 'ON', ...) instead of silently treating them
+    as the default (ADVICE r4: an operator forcing a kernel with =1
+    must not silently get the off path)."""
+    import os
+
+    val = os.environ.get(name, "")
+    if val and val not in valid:
+        if name not in _WARNED_ENVS:
+            _WARNED_ENVS.add(name)
+            import logging
+
+            logging.warning(
+                "%s=%r not recognized (valid: %s); using default %r",
+                name, val, "|".join(sorted(valid)), default or "auto",
+            )
+        return default
+    return val or default
+
 
 def set_jet_storage(d):
     """Storage dtype for the DENSE trunk tangent stream between layers.
@@ -63,9 +86,8 @@ def _jet_store_dtype():
     """The dense-jac storage dtype, or None for full f32."""
     mode = _JET_STORAGE
     if mode is None:
-        import os
-
-        mode = os.environ.get("DEEPSOLID_TPU_JET_STORE", "")
+        mode = env_flag("DEEPSOLID_TPU_JET_STORE",
+                        {"f32", "float32", "bf16", "bfloat16"})
     return jnp.bfloat16 if mode in ("bf16", "bfloat16") else None
 
 
@@ -566,9 +588,7 @@ def set_gauss_split(enabled):
 def _use_gauss_split() -> bool:
     if _GAUSS_SPLIT is not None:
         return bool(_GAUSS_SPLIT)
-    import os
-
-    return os.environ.get("DEEPSOLID_TPU_GAUSS_SPLIT", "") == "on"
+    return env_flag("DEEPSOLID_TPU_GAUSS_SPLIT", {"on", "off"}) == "on"
 
 
 _DET_SCAN = None  # None = auto (ON); True/False to force
@@ -592,9 +612,7 @@ def set_det_scan(enabled):
 def _use_det_scan() -> bool:
     if _DET_SCAN is not None:
         return bool(_DET_SCAN)
-    import os
-
-    env = os.environ.get("DEEPSOLID_TPU_DET_SCAN", "")
+    env = env_flag("DEEPSOLID_TPU_DET_SCAN", {"on", "off"})
     if env:
         return env == "on"
     return True
@@ -635,10 +653,10 @@ def _use_det_kernel(a) -> bool | str:
         return False
     forced = _DET_KERNEL
     if forced is None:
-        import os
-
-        env = os.environ.get("DEEPSOLID_TPU_DET_KERNEL", "")
-        forced = (env == "on") if env else _on_tpu()
+        env = env_flag("DEEPSOLID_TPU_DET_KERNEL",
+                       {"on", "off", "interpret"})
+        forced = env if env == "interpret" else (
+            (env == "on") if env else _on_tpu())
     if forced == "interpret":
         return forced
     if forced:

@@ -41,6 +41,16 @@ def _default_block_t():
     return int(os.environ.get("DEEPSOLID_TPU_JET_BLOCK_T", "8"))
 
 
+def _default_block_c():
+    """Output-column block per grid step. The jac input block is re-read
+    once per column block (its index map ignores the column index), so a
+    wider bc cuts the dominant HBM stream's read count at the cost of
+    VMEM for the (bt, bn, bc) jac output block; env-tunable for sweeps."""
+    import os
+
+    return int(os.environ.get("DEEPSOLID_TPU_JET_BLOCK_C", "128"))
+
+
 def _pick_bn(n: int, block_n) -> int:
     """Electron-row block size for one grid step.
 
@@ -160,7 +170,7 @@ def fused_dense_tanh_jet_partial(
     w: jnp.ndarray,     # (d_in, d_out)
     b: jnp.ndarray,     # (d_out,)
     block_n=None,
-    block_c: int = 128,
+    block_c: int | None = None,
     block_t: int | None = None,
     jac_precision=jax.lax.Precision.HIGHEST,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -172,6 +182,8 @@ def fused_dense_tanh_jet_partial(
     t_dim, n, d_in = jac.shape
     d_out = w.shape[1]
     bn = _pick_bn(n, block_n)
+    if block_c is None:
+        block_c = _default_block_c()
     bc = min(block_c, _round_up(d_out, 128))
     if block_t is None:
         block_t = _default_block_t()
@@ -255,7 +267,7 @@ def fused_dense_tanh_jet(
     w: jnp.ndarray,     # (d_in, d_out)
     b: jnp.ndarray,     # (d_out,)
     block_n=None,
-    block_c: int = 128,
+    block_c: int | None = None,
     block_t: int | None = None,
     jac_precision=jax.lax.Precision.HIGHEST,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -263,6 +275,8 @@ def fused_dense_tanh_jet(
     t_dim, n, d_in = jac.shape
     d_out = w.shape[1]
     bn = _pick_bn(n, block_n)
+    if block_c is None:
+        block_c = _default_block_c()
     bc = min(block_c, _round_up(d_out, 128))
     if block_t is None:
         block_t = _default_block_t()
@@ -442,6 +456,8 @@ def _fused_mix_call(kernel, n_outs, val, jac, lap, zbc, lbc, jbc, w, b,
     t_dim, n, d_in = jac.shape
     d_out = w.shape[1]
     bn = _pick_bn(n, block_n)
+    if block_c is None:
+        block_c = _default_block_c()
     bc = min(block_c, _round_up(d_out, 128))
     if block_t is None:
         block_t = _default_block_t()
@@ -520,7 +536,7 @@ def fused_dense_tanh_jet_mix(
     zbc, lbc, jbc,       # row-constant contractions: (d_out,), (d_out,), (T, d_out)
     w, b,                # (d_in, d_out), (d_out,)
     block_n=None,
-    block_c: int = 128,
+    block_c: int | None = None,
     block_t: int | None = None,
     jac_precision=jax.lax.Precision.HIGHEST,
 ):
@@ -539,7 +555,7 @@ def fused_dense_tanh_jet_mix(
 def fused_dense_tanh_jet_mix_partial(
     val, jac, lap, zbc, lbc, jbc, w, b,
     block_n=None,
-    block_c: int = 128,
+    block_c: int | None = None,
     block_t: int | None = None,
     jac_precision=jax.lax.Precision.HIGHEST,
 ):
