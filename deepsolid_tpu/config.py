@@ -101,7 +101,11 @@ def default() -> ml_collections.ConfigDict:
                     # ONE backward pass seeded with sqrt(2)*N(0,1) /
                     # sqrt(2)*Rademacher respectively, unbiased for the
                     # same factors with sampling noise the cov EMA
-                    # averages out.
+                    # averages out. The MC modes are PARITY options
+                    # (unit unbiasedness + short e2e descent tests,
+                    # tests/test_kfac.py) — production runs here use
+                    # fisher_exact; promote an MC mode only with its
+                    # own converged-energy evidence.
                     "estimation_mode": "fisher_exact",
                 },
                 "ministeps": 1,

@@ -385,8 +385,14 @@ def test_fisher_gradients_mode_unbiased():
     assert err < 0.25, f"MC G factor off by {err:.3f} of scale"
 
 
-def test_fisher_gradients_e2e_descends():
-    """One-pass MC curvature still trains: short KFAC run lowers the loss."""
+@pytest.mark.parametrize(
+    "mode", ["fisher_gradients", "fisher_curvature_prop"]
+)
+def test_mc_estimation_modes_e2e_descend(mode):
+    """MC curvature still trains: short KFAC run lowers the loss for
+    each estimation mode (reference estimator.py:264-320 offers all
+    three; fisher_exact is the production default exercised by
+    test_kfac_e2e_training)."""
     import dataclasses as _dc
     import functools
 
@@ -396,7 +402,7 @@ def test_fisher_gradients_e2e_descends():
     from deepsolid_tpu.train.loss import make_loss
 
     sc, net, params, data, opt = small_setup(batch=32)
-    opt = _dc.replace(opt, estimation_mode="fisher_gradients")
+    opt = _dc.replace(opt, estimation_mode=mode)
     total_energy = make_loss(
         net.logdet, net.batch_logdet, sc, mode="forward", network_obj=net
     )
