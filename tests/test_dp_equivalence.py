@@ -63,11 +63,15 @@ def _loss_fn(net, sc, deriv_axis):
 
 
 def test_loss_and_grad_match_across_meshes():
-    """pmean'd loss/grad on (8,) and (4x2) meshes == single device."""
+    """pmean'd loss/grad on a (4x2) mesh == single device.
+
+    The pure-DP (8,) mesh is covered by the full-KFAC-step oracle below
+    (which subsumes loss+grad); compiling a third loss-only program for
+    it bought no extra contract coverage on the 1-core suite box."""
     sc, net, params, data = _setup()
 
     results = []
-    for mesh, deriv_axis in _meshes():
+    for mesh, deriv_axis in (_meshes()[0], _meshes()[2]):
         total_energy = _loss_fn(net, sc, deriv_axis)
         val_and_grad = jax.value_and_grad(
             total_energy, argnums=0, has_aux=True
@@ -89,7 +93,7 @@ def test_loss_and_grad_match_across_meshes():
         results.append((float(loss), grad))
 
     loss_1, grad_1 = results[0]
-    for (loss_n, grad_n), label in zip(results[1:], ("8x1", "4x2")):
+    for (loss_n, grad_n), label in zip(results[1:], ("4x2",)):
         np.testing.assert_allclose(
             loss_n, loss_1, rtol=1e-12, err_msg=f"loss mismatch on {label}"
         )
