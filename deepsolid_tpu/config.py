@@ -194,11 +194,11 @@ def default() -> ml_collections.ConfigDict:
                 # analysis, and return without executing — for diagnosing
                 # HBM ceilings at production batch sizes
                 "compile_only": False,
-                # '' = auto (Pallas fused jet kernels on TPU/f32);
-                # 'on'/'off' to force. 'off' isolates the Mosaic pass
-                # when a remote compile hangs (the batch-4096 probe,
-                # docs/ROADMAP.md) at the cost of the fused-kernel VMEM
-                # residency.
+                # '' = auto (OFF since round 5: plain-XLA fusion of the
+                # trunk jet rule measured ~1.2x faster than the Pallas
+                # kernels at the C-diamond production shape — see
+                # ops/fwdlap._use_fused); 'on' restores the Pallas
+                # kernels for A/B.
                 "fused_kernels": "",
                 # '' = auto (Pallas lane-batched Gauss-Jordan det-head
                 # inverse; currently opt-in pending the on-chip A/B,

@@ -260,11 +260,14 @@ def set_fused_kernels(enabled):
 def _use_fused(a: Jet, w) -> bool:
     if _FUSED_DENSE_TANH is not None:
         return _FUSED_DENSE_TANH
-    return (
-        jax.default_backend() == "tpu"
-        and a.val.dtype == jnp.float32
-        and w.dtype == jnp.float32
-    )
+    # Default OFF since round 5: an interleaved-window on-chip A/B of the
+    # C-diamond kinetic path (batch 256, el_chunk 64, 3 windows each) put
+    # plain-XLA fusion at 146.5/159.0/158.6 walkers/s vs the Pallas
+    # kernel's 128.6/128.4/128.4 — XLA's fusion of the jac matmul +
+    # tanh' scaling + square-reduce now beats the handwritten pipeline by
+    # ~1.2x at the production shape. The kernels stay available for A/B
+    # via debug.fused_kernels='on' / set_fused_kernels(True).
+    return False
 
 
 def dense_tanh(a: Jet, w, b, axis_name=None) -> Jet:
