@@ -29,7 +29,7 @@ cfg.batch_size = 1024
 cfg.precision = "float32"
 cfg.optim.optimizer = "kfac"
 cfg.optim.laplacian_mode = "forward"
-cfg.optim.iterations = 1500
+cfg.optim.iterations = 6000
 cfg.optim.el_chunk = 128
 cfg.mcmc.burn_in = 200
 cfg.mcmc.steps = 20
