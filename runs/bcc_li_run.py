@@ -35,6 +35,10 @@ cfg.pretrain.iterations = 500
 cfg.optim.kfac.adaptive_damping = True
 cfg.optim.kfac.damping_adaptation_interval = 10
 cfg.log.save_path = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/runs/bcc_li_r3"
+# Cross-round durability (same protocol as runs/diamond_run.py): the
+# newest checkpoint is copied to runs/ckpt_bcc_li and committed, so a
+# fresh round resumes from it instead of re-pretraining.
+cfg.log.restore_path = "/root/repo/runs/ckpt_bcc_li"
 cfg.log.save_frequency = 15.0
 cfg.log.stats_frequency = 10
 process.process(cfg)
